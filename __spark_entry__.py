@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (windowed token-sequence
+statistics — the engine's core shape) on /root/testdata/sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-pipeline operators, each paired with an
+ANSI-SQL DuckDB oracle where SQL-expressible (hash-based LSH ops are
+rows-only by nature — their correctness is pytest-verified instead,
+tests/test_operators.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ksql_udaf_statistics_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tumbling-window per-(source, window) moment statistics
+    over a token-sequence view of the documents table (value=token_mean,
+    weight=n_tok) — the reference's continuous-query shape (SURVEY.md §3)
+    in batch form on /root/testdata/sf0.001."""
+    from pyspark.sql import functions as F
+
+    from ksql_udaf_statistics_spark.sources.tables import tokens_from_documents
+    from ksql_udaf_statistics_spark.streaming.jobs import windowed_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = tokens_from_documents(docs).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("doc_id").cast("long") * 7
+        ),
+    ).withColumn(
+        "token_mean",
+        F.aggregate("tokens", F.lit(0.0), lambda a, x: a + x.cast("double"))
+        / F.greatest(F.col("n_tok").cast("double"), F.lit(1.0)),
+    )
+    return windowed_stats(
+        tok, value="token_mean", weight="n_tok",
+        keys=("source",), window_size="10 minutes",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

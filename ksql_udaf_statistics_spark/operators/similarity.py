@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set against the corpus, cosine via JVM-side ``zip_with`` +
+  ``aggregate`` array algebra, per-query top-k with a window. One scan of
+  the corpus, no shuffle of the big side except the final top-k.
+- **LSH-bucketed top-k** — the scale path: random-hyperplane signatures
+  (deterministic, seeded) bucket the corpus; candidates = bucket
+  collisions with the query in any band; exact cosine re-rank within
+  candidates. Probing cost is bucket-local instead of corpus-wide; recall
+  is tunable by (planes, bands).
+
+Near-duplicate-by-embedding is ``cosine >= threshold`` on either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b) -> Column:
+    # accumulate in float64 regardless of the storage type (array<float>):
+    # float32 accumulation loses the 6th decimal and is not reproducible
+    # against double-precision oracles
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    ``queries`` must be small (it is broadcast). Self-matches are excluded.
+    Ties are broken by neighbor id for full determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            dot("q_vec", "c_vec").cast("double")
+            / (norm("q_vec") * norm("c_vec")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec_col: str, dim: int, planes: int = 16, seed: int = 7
+) -> Column:
+    """Array of ``planes`` sign bits of <v, h_p> where h_p[d] is a
+    deterministic pseudo-random value in [-1, 1) derived from
+    xxhash64(seed, p, d) — reproducible at any parallelism, no stored
+    plane table, all JVM-side."""
+    def plane_dot(p: int) -> Column:
+        terms = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: x
+            * (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), 2000) / 1000.0 - 1.0
+            ),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+    return F.array(*[F.when(plane_dot(p) >= 0, 1).otherwise(0) for p in range(planes)])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band with the
+    query, then exact cosine re-rank. Same output schema as
+    ``brute_force_topk`` (ranks relative to the candidate set)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    assert planes % bands == 0
+    rows = planes // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = hyperplane_signature(vec_col, dim, planes, seed)
+        return (
+            df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}_vec"),
+                sig.alias("sig"),
+            )
+            .select(
+                f"{role}_id",
+                f"{role}_vec",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.concat_ws(
+                                    "",
+                                    *[F.col("sig")[b * rows + r].cast("string")
+                                      for r in range(rows)],
+                                ).alias("bucket"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bb"),
+            )
+            .select(f"{role}_id", f"{role}_vec", "bb.band", "bb.bucket")
+        )
+
+    cq = banded(queries, "query")
+    cc = banded(corpus, "neighbor")
+    cand = (
+        cc.join(F.broadcast(cq), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "cos_sim",
+            dot("query_vec", "neighbor_vec").cast("double")
+            / (norm("query_vec") * norm("neighbor_vec")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
+    (never a corpus×corpus cross join)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rows = planes // bands
+    sig = hyperplane_signature(vec_col, dim, planes, seed)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                         sig.alias("sig"))
+    banded = base.select(
+        "id", "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("id").alias("doc_a"), F.col("vec").alias("va"))
+    b = banded.select("band", "bucket", F.col("id").alias("doc_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("cos_sim", dot("va", "vb").cast("double") / (norm("va") * norm("vb")).cast("double"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )

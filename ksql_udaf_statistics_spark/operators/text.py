@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines (engine scope).
+
+All hot paths are JVM-side Column expressions (split/transform/aggregate/
+regexp) — no Python in the row path — so they scale to 100 TB document
+tables and their plans stay inside whole-stage codegen. Every function is
+deterministic and ANSI-SQL-expressible so the DuckDB oracle harness can
+verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small fixed stopword list (shared with the oracle SQL in
+# __spark_entry__.py — keep in sync).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+#: BPE-ish token pattern: runs of word chars, or single non-space symbols.
+BPE_REGEX = r"\w+|[^\w\s]"
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_whitespace(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """Count of BPE-ish tokens via regexp — a cheap upper-bound proxy for
+    a real tokenizer's sequence length."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    w = words(text)
+    total = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    w = words(text)
+    stop = F.size(F.filter(w, lambda x: F.lower(x).isin(STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long-enough docs with a healthy
+    stopword ratio and low punctuation noise score high. Deterministic,
+    closed-form, SQL-matchable."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
+    stop = stopword_ratio(c)
+    stop_score = F.least(stop * 5.0, F.lit(1.0))  # saturates at 20% stopwords
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 5.0)
+    return (0.4 * len_score + 0.4 * stop_score + 0.2 * punct_penalty).alias("quality")
+
+
+def lang_id(text: Column | str, threshold: float = 0.05) -> Column:
+    """N-gram/stopword language heuristic: flag 'en' when the English
+    stopword ratio clears ``threshold``, else 'unknown'. (The testdata's
+    ``lang`` column is synthetic and uncorrelated with the text — this is
+    a content-based signal, not a label predictor.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: first 15 hex digits of
+    md5 as a bigint (rolling-hash stand-in that DuckDB reproduces exactly
+    via the same md5)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full feature set — the batch building
+    block for filtering/weighting a 100 TB corpus (single scan, codegen)."""
+    c = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        "source",
+        token_count_whitespace(c).alias("n_words"),
+        token_count_bpe(c).alias("n_bpe_tokens"),
+        avg_word_len(c).alias("avg_word_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

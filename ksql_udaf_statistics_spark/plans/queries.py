@@ -1,0 +1,550 @@
+"""Query registry: every implemented operator as a (Spark callable,
+ANSI-SQL oracle) pair for the driver's correctness harness.
+
+Conventions shared by both sides (required for the value-hash compare):
+
+- every aggregate / computed column is aliased identically;
+- doubles are rounded to 6 decimals (`round6`) — Spark and DuckDB
+  accumulate in different orders, so raw doubles differ in the last ulp;
+- NaN is converted to NULL at the output boundary — the reference's own
+  JSON-sink convention (AllUdafIT.java:675-680);
+- timestamps are formatted as 'yyyy-MM-dd HH:mm:ss' strings to dodge
+  timezone/precision representation differences;
+- each callable pins the session timezone to UTC.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.tables import tokens_from_documents
+from ..stats import spark_agg as SA
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def round6(c) -> F.Column:
+    c = F.round(c, 6)
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1-4: unweighted UDAFs on events (population + sample variants)
+# ---------------------------------------------------------------------------
+
+# population power-sum oracle (the reference formula, SkewnessUdaf.java:166-181)
+_POW_SUMS = """
+  SELECT event_type, count(value) AS n, sum(value) AS s1,
+         sum(value*value) AS s2, sum(value*value*value) AS s3,
+         sum(value*value*value*value) AS s4
+  FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "skewness_pop",
+    f"""WITH s AS ({_POW_SUMS})
+    SELECT event_type, ROUND(
+      CASE WHEN n = 0 THEN 0.0
+           WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
+           ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness
+    FROM s""",
+)
+def q_skewness_pop(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(round6(SA.skewness("value")).alias("skewness"))
+
+
+@register(
+    "skewness_sample",
+    "SELECT event_type, ROUND(skewness(value), 6) AS skewness_sample "
+    "FROM events GROUP BY event_type",
+)
+def q_skewness_sample(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round6(SA.skewness("value", sample=True)).alias("skewness_sample")
+    )
+
+
+@register(
+    "kurtosis_pop",
+    f"""WITH s AS ({_POW_SUMS})
+    SELECT event_type, ROUND(
+      CASE WHEN n = 0 THEN 0.0
+           WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
+           ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*pow(s1/n, 4))
+                / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) AS kurtosis
+    FROM s""",
+)
+def q_kurtosis_pop(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(round6(SA.kurtosis("value")).alias("kurtosis"))
+
+
+@register(
+    "kurtosis_sample",
+    "SELECT event_type, ROUND(kurtosis(value), 6) AS kurtosis_sample "
+    "FROM events GROUP BY event_type",
+)
+def q_kurtosis_sample(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round6(SA.kurtosis("value", sample=True)).alias("kurtosis_sample")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5-7: weighted UDAFs on lineitem (value=l_extendedprice, weight=l_quantity)
+# ---------------------------------------------------------------------------
+
+_W_SUMS = """
+  SELECT l_returnflag, sum(l_quantity) AS sw,
+         sum(l_quantity*l_extendedprice) AS swx,
+         sum(l_quantity*l_extendedprice*l_extendedprice) AS swx2,
+         sum(l_quantity*pow(l_extendedprice, 3)) AS swx3,
+         sum(l_quantity*pow(l_extendedprice, 4)) AS swx4
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register(
+    "stddev_weighted",
+    f"""WITH s AS ({_W_SUMS})
+    SELECT l_returnflag, ROUND(
+      CASE WHEN sw = 0 THEN 0.0
+           ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6)
+      AS stddev_weighted
+    FROM s""",
+)
+def q_stddev_weighted(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round6(SA.stddev_weighted("l_extendedprice", "l_quantity")).alias("stddev_weighted")
+    )
+
+
+@register(
+    "skewness_weighted",
+    f"""WITH s AS ({_W_SUMS})
+    SELECT l_returnflag, ROUND(
+      CASE WHEN sw = 0 THEN 0.0
+           WHEN (swx2/sw - (swx/sw)*(swx/sw)) <= 0 THEN 0.0
+           ELSE (swx3/sw - 3*(swx/sw)*(swx2/sw) + 2*pow(swx/sw, 3))
+                / pow(swx2/sw - (swx/sw)*(swx/sw), 1.5) END, 6)
+      AS skewness_weighted
+    FROM s""",
+)
+def q_skewness_weighted(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round6(SA.skewness_weighted("l_extendedprice", "l_quantity")).alias("skewness_weighted")
+    )
+
+
+@register(
+    "kurtosis_weighted",
+    f"""WITH s AS ({_W_SUMS})
+    SELECT l_returnflag, ROUND(
+      CASE WHEN sw = 0 THEN 0.0
+           WHEN (swx2/sw - (swx/sw)*(swx/sw)) <= 0 THEN 0.0
+           ELSE (swx4/sw - 4*(swx/sw)*(swx3/sw)
+                 + 6*(swx/sw)*(swx/sw)*(swx2/sw) - 3*pow(swx/sw, 4))
+                / pow(swx2/sw - (swx/sw)*(swx/sw), 2) END, 6)
+      AS kurtosis_weighted
+    FROM s""",
+)
+def q_kurtosis_weighted(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round6(SA.kurtosis_weighted("l_extendedprice", "l_quantity")).alias("kurtosis_weighted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8-10: windowed aggregation (tumbling / sliding / session)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_stats",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type,
+              count(*) AS n_rows,
+              ROUND(avg(value), 6) AS mean_value,
+              ROUND(stddev_pop(value), 6) AS stddev_value,
+              ROUND(skewness(value), 6) AS skewness_sample
+       FROM events GROUP BY 1, 2""",
+)
+def q_tumbling(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            round6(F.avg("value")).alias("mean_value"),
+            round6(SA.stddev_weighted("value", F.lit(1.0))).alias("stddev_value"),
+            round6(SA.skewness("value", sample=True)).alias("skewness_sample"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_rows", "mean_value", "stddev_value", "skewness_sample",
+        )
+    )
+
+
+@register(
+    "sliding_window_stats",
+    """WITH slid AS (
+         SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/1800) * 1800 - o.off) * 1000 AS BIGINT)) AS ws
+         FROM events e, (SELECT unnest([0, 1800]) AS off) o)
+       SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n_rows, ROUND(avg(value), 6) AS mean_value
+       FROM slid GROUP BY 1, 2""",
+)
+def q_sliding(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), round6(F.avg("value")).alias("mean_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_rows", "mean_value",
+        )
+    )
+
+
+@register(
+    "session_window_stats",
+    """WITH flagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               + INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sessions AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events,
+              ROUND(avg(value), 6) AS mean_value
+       FROM sessions GROUP BY user_id, session_id""",
+)
+def q_session(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), round6(F.avg("value")).alias("mean_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events", "mean_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11: token-sequence stats by source (the engine's flagship shape, on the
+# oracle-able word-length tokenization of documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_stats_by_source",
+    """WITH tok AS (
+         SELECT source,
+                len(string_split(text, ' ')) AS n_tok,
+                list_aggregate(list_transform(string_split(text, ' '),
+                                              w -> length(w)), 'sum')
+                  * 1.0 / len(string_split(text, ' ')) AS token_mean
+         FROM documents),
+       s AS (
+         SELECT source, count(*) AS n, sum(n_tok) AS s1,
+                sum(n_tok*n_tok*1.0) AS s2, sum(pow(n_tok, 3)) AS s3,
+                sum(n_tok*token_mean) AS swx, sum(CAST(n_tok AS DOUBLE)) AS sw,
+                sum(n_tok*token_mean*token_mean) AS swx2
+         FROM tok GROUP BY source)
+       SELECT source, n AS n_docs,
+              ROUND(CASE WHEN (s2/n - (s1*1.0/n)*(s1*1.0/n)) <= 0 THEN 0.0
+                    ELSE (s3/n - 3*(s1*1.0/n)*(s2/n) + 2*pow(s1*1.0/n, 3))
+                         / pow(s2/n - (s1*1.0/n)*(s1*1.0/n), 1.5) END, 6)
+                AS skewness_n_tok,
+              ROUND(CASE WHEN sw = 0 THEN 0.0
+                    ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6)
+                AS stddev_weighted_token_mean
+       FROM s""",
+)
+def q_token_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    tok = tokens_from_documents(docs).withColumn(
+        "token_mean",
+        F.aggregate("tokens", F.lit(0.0), lambda a, x: a + x.cast("double"))
+        / F.col("n_tok").cast("double"),
+    )
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(SA.skewness("n_tok")).alias("skewness_n_tok"),
+        round6(SA.stddev_weighted("token_mean", "n_tok")).alias("stddev_weighted_token_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12-13: classic relational shapes (scan-agg; broadcast join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(sum(l_quantity), 6) AS sum_qty,
+              ROUND(sum(l_extendedprice), 6) AS sum_base_price,
+              ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+              ROUND(avg(l_quantity), 6) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round6(F.sum("l_quantity")).alias("sum_qty"),
+            round6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            round6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "order_stats_by_segment",
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+              ROUND(sum(o.o_totalprice), 6) AS total_price,
+              ROUND(skewness(o.o_totalprice), 6) AS skewness_price
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def q_order_stats_by_segment(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round6(F.sum("o_totalprice")).alias("total_price"),
+            round6(SA.skewness("o_totalprice", sample=True)).alias("skewness_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14-16: text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@register(
+    "text_profile",
+    f"""SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+               ROUND(list_aggregate(list_transform(string_split(text, ' '),
+                                                   w -> length(w)), 'sum')
+                     * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+               ROUND(len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOP_SQL}, lower(w))))
+                     * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+        FROM documents""",
+)
+def q_text_profile(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id", "source",
+        T.token_count_whitespace(c).alias("n_words"),
+        T.token_count_bpe(c).alias("n_bpe_tokens"),
+        round6(T.avg_word_len(c)).alias("avg_word_len"),
+        round6(T.stopword_ratio(c)).alias("stopword_ratio"),
+        T.fingerprint(c).alias("fingerprint"),
+    )
+
+
+@register(
+    "quality_filter",
+    f"""WITH prof AS (
+          SELECT doc_id, source,
+                 least(length(text) / 500.0, 1.0) AS len_score,
+                 least(len(list_filter(string_split(text, ' '),
+                                       w -> list_contains({_STOP_SQL}, lower(w))))
+                       * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) AS stop_score,
+                 greatest(0.0, 1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1) * 5.0) AS punct_score
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN 0.4*len_score + 0.4*stop_score + 0.2*punct_score >= 0.5
+                        THEN 1 ELSE 0 END) AS n_kept
+        FROM prof GROUP BY source""",
+)
+def q_quality_filter(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    kept = F.when(T.quality_score(F.col("text")) >= 0.5, 1).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(kept).alias("n_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17-19: dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS content_hash, count(*) AS n_dups,
+              min(doc_id) AS keep_id
+       FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return D.exact_duplicates(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+         SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  )) AS shingles,
+                  len(list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  ))) AS n_shingles
+           FROM documents))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              ROUND(count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 6)
+                AS jaccard
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) >= 0.05""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return D.jaccard_pairs(docs, n=3, threshold=0.05).withColumn(
+        "jaccard", round6(F.col("jaccard"))
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.05)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_simhash(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return D.simhash_pairs(docs, max_hamming=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# 20-21: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_bruteforce_topk",
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       WHERE q.vec_id < 5
+       QUALIFY row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                  c.vec_id ASC) <= 10""",
+)
+def q_ann_bruteforce(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", round6(F.col("cos_sim")).alias("cos_sim")
+    )
+
+
+@register(
+    "embedding_near_dups_exact",
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8""",
+)
+def q_embedding_near_dups_exact(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cos_sim",
+            S.dot("va", "vb").cast("double")
+            / (S.norm("va") * S.norm("vb")).cast("double"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+        .select("doc_a", "doc_b", round6(F.col("cos_sim")).alias("cos_sim"))
+    )
+
+
+@register("embedding_near_dups_lsh")  # rows-only: LSH recall < 1 by design
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, threshold=0.8, planes=16, bands=8)

@@ -18,8 +18,12 @@ Semantics reproduced exactly (with file:line cites into /root/reference):
   * n==0 -> 0.0                      (SkewnessUdaf.java:158-160)
   * sample skew, n<3 -> NaN          (SkewnessUdaf.java:162-164)
   * sample kurt, n<4 -> NaN          (KurtosisUdaf.java:168-170)
-  * variance==0 -> 0.0 (after Bessel for sample variants)
-                                     (SkewnessUdaf.java:173-175)
+  * variance<=0 -> 0.0 (after Bessel for sample variants)
+                                     (SkewnessUdaf.java:173-175; the
+    reference tests ``== 0`` — we widen to ``<= 0`` because raw-sum FP
+    cancellation can yield variance = -ε where Java silently emits
+    Inf/NaN but ANSI Spark would raise DIVIDE_BY_ZERO; on the
+    reference's own test vectors the branch behavior is identical)
   * Σw==0 -> 0.0                     (WeightedStdDevUdaf.java:129-132)
   * population kurtosis is RAW m4/var² (KurtosisUdaf.java:187); sample
     kurtosis is EXCESS G2 (KurtosisUdaf.java:189-195) — asymmetric on
@@ -155,7 +159,7 @@ def finalize_skewness(state: MomentState, sample: bool = False) -> float:
     var = state.s2 / n - mean * mean
     if sample:
         var *= n / (n - 1.0)
-    if var == 0.0:
+    if var <= 0.0:
         return 0.0
     m3 = state.s3 / n - 3.0 * mean * (state.s2 / n) + 2.0 * mean**3
     skew = m3 / max(var, 0.0) ** 1.5
@@ -186,7 +190,7 @@ def finalize_kurtosis(state: MomentState, sample: bool = False) -> float:
     )
     if sample:
         var *= n / (n - 1.0)
-    if var == 0.0:
+    if var <= 0.0:
         return 0.0
     kurt = m4 / (var * var)
     if sample:
@@ -214,7 +218,7 @@ def finalize_skewness_weighted(state: WeightedState) -> float:
         return 0.0
     mean = state.swx / state.sw
     var = state.swx2 / state.sw - mean * mean
-    if var == 0.0:
+    if var <= 0.0:
         return 0.0
     m3 = state.swx3 / state.sw - 3.0 * mean * (state.swx2 / state.sw) + 2.0 * mean**3
     return m3 / max(var, 0.0) ** 1.5
@@ -230,7 +234,7 @@ def finalize_kurtosis_weighted(state: WeightedState) -> float:
         return 0.0
     mean = state.swx / state.sw
     var = state.swx2 / state.sw - mean * mean
-    if var == 0.0:
+    if var <= 0.0:
         return 0.0
     m4 = (
         state.swx4 / state.sw

@@ -117,7 +117,7 @@ def _skewness_finalize(n: Column, s1: Column, s2: Column, s3: Column,
     guarded = F.when(n == 0, F.lit(0.0))
     if sample:
         guarded = guarded.when(n < 3, _nan())
-    return guarded.when(var == 0.0, F.lit(0.0)).otherwise(skew)
+    return guarded.when(var <= 0.0, F.lit(0.0)).otherwise(skew)
 
 
 def _kurtosis_finalize(n: Column, s1: Column, s2: Column, s3: Column,
@@ -141,7 +141,7 @@ def _kurtosis_finalize(n: Column, s1: Column, s2: Column, s3: Column,
     guarded = F.when(n == 0, F.lit(0.0))
     if sample:
         guarded = guarded.when(n < 4, _nan())
-    return guarded.when(var == 0.0, F.lit(0.0)).otherwise(kurt)
+    return guarded.when(var <= 0.0, F.lit(0.0)).otherwise(kurt)
 
 
 def skewness_from_sums(prefix: str = "m", sample: bool = False) -> Column:
@@ -182,7 +182,7 @@ def _skewness_weighted_finalize(sw, swx, swx2, swx3) -> Column:
     m3 = swx3 / sw - 3.0 * mean * (swx2 / sw) + 2.0 * F.pow(mean, 3)
     return (
         F.when(sw == 0.0, F.lit(0.0))
-        .when(var == 0.0, F.lit(0.0))
+        .when(var <= 0.0, F.lit(0.0))
         .otherwise(m3 / F.pow(F.greatest(var, F.lit(0.0)), 1.5))
     )
 
@@ -199,7 +199,7 @@ def _kurtosis_weighted_finalize(sw, swx, swx2, swx3, swx4) -> Column:
     )
     return (
         F.when(sw == 0.0, F.lit(0.0))
-        .when(var == 0.0, F.lit(0.0))
+        .when(var <= 0.0, F.lit(0.0))
         .otherwise(m4 / (var * var))
     )
 

@@ -1,0 +1,171 @@
+"""Windowed statistics jobs — tumbling / sliding / session, batch or stream.
+
+The reference's continuous query shape (AllUdafIT.java:593-600,
+README.md:157-172) is ``CREATE TABLE ... AS SELECT <UDAF>(...) FROM stream
+[WINDOW TUMBLING ...] GROUP BY key EMIT CHANGES``. Here that becomes one
+builder that works identically on a batch DataFrame and a streaming
+DataFrame (the aggregate Columns are plain sum-decompositions, so
+Structured Streaming's state store holds exactly the reference's
+accumulator struct and merges it with native partial aggregation).
+
+Skew handling: ``salted_group_stats`` does exact two-level aggregation —
+partial sums per (key, salt) then final sum-of-sums per key — valid because
+the accumulator is a commutative monoid (SkewnessUdaf.java:198-206).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..stats import spark_agg as SA
+
+ALL_SUM_COLS = ["m_n", "m_s1", "m_s2", "m_s3", "m_s4",
+                "w_sw", "w_swx", "w_swx2", "w_swx3", "w_swx4"]
+
+
+def stat_columns(value: str, weight: Optional[str], sample: bool = False) -> list[Column]:
+    """The full reference UDAF surface as aliased aggregate Columns."""
+    cols = [
+        SA.skewness(value, sample=False).alias("skewness"),
+        SA.skewness(value, sample=True).alias("skewness_sample"),
+        SA.kurtosis(value, sample=False).alias("kurtosis"),
+        SA.kurtosis(value, sample=True).alias("kurtosis_sample"),
+    ]
+    if weight is not None:
+        cols += [
+            SA.stddev_weighted(value, weight).alias("stddev_weighted"),
+            SA.skewness_weighted(value, weight).alias("skewness_weighted"),
+            SA.kurtosis_weighted(value, weight).alias("kurtosis_weighted"),
+        ]
+    return cols
+
+
+def windowed_stats(
+    df: DataFrame,
+    value: str,
+    weight: Optional[str] = None,
+    keys: Sequence[str] = ("source",),
+    ts_col: str = "ts",
+    window_size: str = "5 minutes",
+    slide: Optional[str] = None,
+    session_gap: Optional[str] = None,
+    watermark: Optional[str] = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-(window, *keys) statistics; tumbling by default.
+
+    - ``slide`` -> sliding window (F.window(ts, size, slide));
+    - ``session_gap`` -> session window (F.session_window(ts, gap));
+    - ``watermark`` (streaming only) -> late rows beyond the delay are
+      dropped and windows finalize for append-mode sinks.
+
+    Works on batch and streaming inputs unchanged — the ksqlDB
+    TABLE/pull-query split (AllUdafIT.java:593-600 vs :654-671) becomes
+    "same query, different source".
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    if session_gap is not None:
+        win = F.session_window(F.col(ts_col), session_gap)
+    elif slide is not None:
+        win = F.window(F.col(ts_col), window_size, slide)
+    else:
+        win = F.window(F.col(ts_col), window_size)
+    agg = df.groupBy(win.alias("window"), *keys).agg(
+        F.count(F.lit(1)).alias(count_col), *stat_columns(value, weight)
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        count_col,
+        *[c for c in agg.columns if c not in {"window", count_col, *keys}],
+    )
+
+
+def salted_group_stats(
+    df: DataFrame,
+    value: str,
+    weight: Optional[str] = None,
+    keys: Sequence[str] = ("source",),
+    n_salt: int = 16,
+    sample: bool = False,
+) -> DataFrame:
+    """Exact grouped stats via salted two-level aggregation.
+
+    Level 1 aggregates per (keys, salt) — spreading a hot key over
+    ``n_salt`` reducers; level 2 sums the partial sums per key and
+    finalizes. Results are identical to the direct aggregation (monoid
+    merge), only the shuffle layout changes. Use when a group key is so
+    skewed that one reducer would own most rows (e.g. the Zipf ``source``
+    head at 10^12 rows).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+                  n_salt).alias("_salt")
+    partial_aggs = SA.moment_sums(value)
+    if weight is not None:
+        partial_aggs = partial_aggs + SA.weighted_sums(value, weight)
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    sum_cols = [c for c in partial.columns if c.startswith(("m_", "w_"))]
+    merged = partial.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sum_cols])
+    out = [
+        SA.skewness_from_sums(sample=sample).alias("skewness"),
+        SA.kurtosis_from_sums(sample=sample).alias("kurtosis"),
+    ]
+    if weight is not None:
+        out += [
+            SA.stddev_weighted_from_sums().alias("stddev_weighted"),
+            SA.skewness_weighted_from_sums().alias("skewness_weighted"),
+            SA.kurtosis_weighted_from_sums().alias("kurtosis_weighted"),
+        ]
+    return merged.select(*keys, F.col("m_n").alias("n_rows"), *out)
+
+
+def grouped_stats_apply_in_pandas(
+    df: DataFrame,
+    value: str,
+    weight: Optional[str] = None,
+    keys: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Arrow-vectorized ``applyInPandas`` variant of the grouped stats.
+
+    Exercises the pandas/Arrow UDF path required by ``input_hint`` using
+    the same pure kernel (stats.moments) the unit tests cover; numerically
+    identical to the Column path. The Column path remains the default —
+    this variant exists for parity testing and for statistics that ever
+    outgrow Column algebra.
+    """
+    import pandas as pd  # local import: executors only
+
+    from ..stats import moments as M
+
+    keys = list(keys)
+    schema = ", ".join(f"{k} string" for k in keys) + (
+        ", n_rows long, skewness double, kurtosis double"
+        + (", stddev_weighted double, skewness_weighted double, kurtosis_weighted double"
+           if weight else "")
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = M.MomentState.zero().update(pdf[value].to_numpy())
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(
+            n_rows=len(pdf),
+            skewness=M.finalize_skewness(st),
+            kurtosis=M.finalize_kurtosis(st),
+        )
+        if weight:
+            ws = M.WeightedState.zero().update(
+                pdf[value].to_numpy(), pdf[weight].to_numpy()
+            )
+            row.update(
+                stddev_weighted=M.finalize_stddev_weighted(ws),
+                skewness_weighted=M.finalize_skewness_weighted(ws),
+                kurtosis_weighted=M.finalize_kurtosis_weighted(ws),
+            )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(compute, schema)

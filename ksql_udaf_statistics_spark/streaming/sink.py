@@ -1,0 +1,134 @@
+"""Exactly-once sinks for streaming aggregates (parquet stand-in for Iceberg).
+
+The reference materializes its continuous aggregate into a Kafka changelog
+topic (AllUdafIT.java:593-600); ksqlDB's state store + changelog give it
+effective exactly-once. Our equivalent (north_rule): ``foreachBatch``
+writing an idempotent, replay-safe table.
+
+Mechanism — **overwrite-by-batch-partition**:
+
+- every micro-batch writes its rows under ``batch_id=<N>`` using dynamic
+  partition overwrite, so a replayed batch (after a crash between "write"
+  and "commit offsets") overwrites its own partition with identical
+  content instead of duplicating — idempotence without a transaction log;
+- with update-mode aggregations the same (window, key) may be re-emitted
+  in later batches; ``read_current`` resolves to the latest batch per key
+  (row_number over batch_id desc) — the parquet analogue of an Iceberg
+  MERGE keyed by (window, source), SURVEY.md §7 substitution note;
+- a ``_ledger`` directory records committed batch ids + row counts +
+  partition lineage, giving per-partition lineage/metrics (north_rule)
+  and a cheap audit that replays happened.
+
+On a real cluster the same class swaps parquet for Iceberg by replacing
+``_write_batch`` with a MERGE INTO — the foreachBatch topology, checkpoint
+contract, and key discipline are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class ExactlyOnceParquetSink:
+    """foreachBatch sink with batch-id idempotence + key-upsert reads."""
+
+    def __init__(self, path: str, key_cols: Sequence[str]):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.ledger_dir = os.path.join(path, "_ledger")
+
+    # -- write side ---------------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._write_batch(batch_df, batch_id)
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = batch_df.withColumn("batch_id", F.lit(batch_id))
+        (
+            out.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(self.path, "data"))
+        )
+        # per-partition lineage: rows contributed by each input partition
+        lineage = [
+            {"partition": int(r["p"]), "rows": int(r["n"])}
+            for r in batch_df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        entry = {
+            "batch_id": batch_id,
+            "rows": sum(x["rows"] for x in lineage),
+            "partitions": lineage,
+            "wall_time": time.time(),
+        }
+        # one file per batch id: replays overwrite the same file -> idempotent
+        with open(os.path.join(self.ledger_dir, f"batch-{batch_id:012d}.json"), "w") as f:
+            json.dump(entry, f)
+
+    # -- read side ----------------------------------------------------------
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "data"))
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        """Latest emission per key — the materialized-table ("pull query")
+        view (AllUdafIT.java:654-671)."""
+        df = self.read_all(spark)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("batch_id").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id")
+        )
+
+    def committed_batches(self) -> list[dict]:
+        if not os.path.isdir(self.ledger_dir):
+            return []
+        entries = []
+        for name in sorted(os.listdir(self.ledger_dir)):
+            if name.startswith("batch-") and name.endswith(".json"):
+                with open(os.path.join(self.ledger_dir, name)) as f:
+                    entries.append(json.load(f))
+        return entries
+
+
+def run_streaming_stats(
+    source_df: DataFrame,
+    sink: ExactlyOnceParquetSink,
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "update",
+    available_now: bool = True,
+    trigger_interval: Optional[str] = None,
+    query_name: str = "windowed_stats",
+):
+    """Wire source → transform → exactly-once sink with a checkpoint.
+
+    ``availableNow`` drains all currently-available input then stops —
+    used by tests and the bench for bounded runs; a kill/restart with the
+    same checkpoint resumes from the last committed offsets (north_rule
+    checkpoint-resume requirement).
+    """
+    agg = transform(source_df)
+    writer = (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,0 +1,231 @@
+"""Tests for the training-pipeline operators: text analysis, dedup
+(exact / Jaccard / MinHash / SimHash / embedding-cosine), ANN similarity,
+and multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ksql_udaf_statistics_spark.operators import dedup as D
+from ksql_udaf_statistics_spark.operators import multimodal as MM
+from ksql_udaf_statistics_spark.operators import similarity as S
+from ksql_udaf_statistics_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_profile_matches_python(docs):
+    rows = T.text_profile(docs).orderBy("doc_id").limit(20).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.orderBy("doc_id").limit(20).collect()}
+    import re
+
+    for r in rows:
+        text = raw[r["doc_id"]]
+        ws = text.split(" ")
+        assert r["n_words"] == len(ws)
+        assert r["n_bpe_tokens"] == len(re.findall(r"\w+|[^\w\s]", text))
+        assert r["avg_word_len"] == pytest.approx(
+            sum(map(len, ws)) / len(ws), abs=1e-9
+        )
+        stop = sum(1 for w in ws if w.lower() in T.STOPWORDS)
+        assert r["stopword_ratio"] == pytest.approx(stop / len(ws), abs=1e-9)
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in ("en", "unknown")
+        assert r["fingerprint"] == int(
+            __import__("hashlib").md5(text.encode()).hexdigest()[:15], 16
+        )
+
+
+# -- dedup ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Original corpus + exact copies + near-copies (one word changed)."""
+    base = docs.limit(50).select("doc_id", "text", "source")
+    exact = base.limit(10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    near = base.limit(10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+        "source",
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = D.exact_duplicates(docs_with_dups).collect()
+    dup_groups = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup_groups) == 10
+    assert all(g["keep_id"] < 100000 for g in dup_groups)
+    kept = D.dedup_exact(docs_with_dups)
+    assert kept.count() == 60  # 50 base + 10 near (exact copies collapsed)
+
+
+def test_jaccard_pairs_match_python_oracle(docs_with_dups):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs_with_dups, n=3, threshold=0.5).collect()
+    }
+    pdf = docs_with_dups.toPandas()
+    sets = {
+        r.doc_id: set(
+            " ".join(r.text.split(" ")[i : i + 3])
+            for i in range(max(len(r.text.split(" ")) - 2, 1))
+        )
+        for r in pdf.itertuples()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # every exact copy pair is found at jaccard 1.0
+    assert sum(1 for v in got.values() if v == pytest.approx(1.0)) >= 10
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = D.minhash_lsh_pairs(
+        docs_with_dups, num_hashes=32, bands=8, threshold=0.5
+    ).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    high_jaccard = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs_with_dups, threshold=0.95).collect()
+    }
+    assert high_jaccard <= found  # recall over >=0.95-jaccard pairs
+    # identical-text pairs (jaccard exactly 1.0) estimate at exactly 1.0
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs_with_dups, threshold=1.0).collect()
+    }
+    assert len(exact_pairs) >= 10
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    for p in exact_pairs:
+        assert est[p] == pytest.approx(1.0)
+
+
+def test_simhash_finds_near_dups(docs_with_dups):
+    # bands=8 -> 8-bit chunks -> pigeonhole guarantees recall for any pair
+    # with Hamming distance <= 7 (the one-word near-copies measure 1-7)
+    pairs = D.simhash_pairs(docs_with_dups, max_hamming=8, bands=8).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    high_jaccard = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs_with_dups, threshold=0.95).collect()
+    }
+    assert high_jaccard <= found
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs_with_dups, threshold=1.0).collect()
+    }
+    for p in exact_pairs:
+        assert ham[p] == 0  # identical text -> identical simhash
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = S.brute_force_topk(emb, queries, k=10).collect()
+    pdf = emb.toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        qi = int(np.where(ids == q)[0][0])
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        # sort by (-sim, id) to mirror the deterministic tie-break
+        order = sorted(range(len(s)), key=lambda j: (-s[j], ids[j]))[:10]
+        want = [(int(ids[j]), s[j]) for j in order]
+        gotl = sorted(rows, key=lambda r: r["rank"])
+        for (wid, wsim), g in zip(want, gotl):
+            assert g["neighbor_id"] == wid
+            assert g["cos_sim"] == pytest.approx(wsim, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    approx = S.lsh_topk(emb, queries, k=5, planes=16, bands=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dups_blocked(spark, emb):
+    """Duplicate a few vectors; LSH-blocked near-dup must find the copies
+    (cosine 1.0 collides in every band)."""
+    copies = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(copies)
+    pairs = S.embedding_near_dups(df, threshold=0.999).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 10000) in found
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    media = MM.synthesize_media_table(spark, 200, partitions=4)
+    # compare names/types (nullability flags differ between synthesized
+    # expressions and the declared schema — not meaningful here)
+    assert media.schema.simpleString() == MM.MEDIA_SCHEMA.simpleString()
+    feats = MM.extract_features(media)
+    assert feats.schema.simpleString() == MM.FEATURES_SCHEMA.simpleString()
+    rows = feats.collect()
+    assert len(rows) == 200
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in rows)
+    assert all(r["payload_bytes"] == 64 for r in rows)  # sha2-256 hex as bytes
+    # deterministic: same synthesis -> same features
+    again = {r["media_id"]: r["features"] for r in MM.extract_features(
+        MM.synthesize_media_table(spark, 200, partitions=8)).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+    # no shuffle: partition count preserved through mapInPandas
+    assert feats.rdd.getNumPartitions() == media.rdd.getNumPartitions()
+
+
+def test_decode_stub_is_marked_unimplemented():
+    with pytest.raises(NotImplementedError):
+        MM.decode_stub(b"\x00", "image")
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synthesize_media_table(spark, 100)
+    plan = MM.frame_sample_plan(media, every_n=10)
+    rows = plan.groupBy("media_id").agg(F.count("*").alias("n"),
+                                        F.max("frame_idx").alias("mx")).collect()
+    meta = {r["media_id"]: r["meta"]["n_frames"]
+            for r in media.filter(F.col("kind") == "video").collect()}
+    assert set(meta) == {r["media_id"] for r in rows}
+    for r in rows:
+        n_frames = meta[r["media_id"]]
+        assert r["n"] == len(range(0, n_frames, 10))

@@ -1,0 +1,35 @@
+"""SQL dispatch surface: registered grouped-agg UDFs return the reference
+golden values through plain spark.sql — the SHOW FUNCTIONS parity check
+(AllUdafIT.java:116-153)."""
+
+import pytest
+from pyspark.sql import Row
+
+from ksql_udaf_statistics_spark.functions.sql_registry import register_sql_functions
+
+GOLDEN = [3.0, 3.0, 4.0, 7.0, 7.0, 13.0, 16.0, 16.0, 16.0, 20.0]
+WV = [(3.0, 2.0), (4.0, 1.0), (7.0, 2.0), (13.0, 1.0), (16.0, 3.0), (20.0, 1.0)]
+
+
+def test_sql_registered_udafs(spark):
+    names = register_sql_functions(spark)
+    assert "stddev_weighted" in names and len(names) == 7
+    spark.createDataFrame([Row(x=v) for v in GOLDEN]).createOrReplaceTempView("vals")
+    spark.createDataFrame([Row(x=v, w=w) for v, w in WV]).createOrReplaceTempView("wvals")
+    row = spark.sql(
+        "SELECT skewness_stat(x) AS sk, kurtosis_stat(x) AS ku FROM vals"
+    ).collect()[0]
+    assert row["sk"] == pytest.approx(0.075718, abs=1e-4)
+    assert row["ku"] == pytest.approx(1.4400, abs=1e-4)
+    wrow = spark.sql(
+        "SELECT stddev_weighted(x, w) AS sd, skewness_weighted(x, w) AS sk, "
+        "kurtosis_weighted(x, w) AS ku FROM wvals"
+    ).collect()[0]
+    assert wrow["sd"] == pytest.approx(6.0539, abs=1e-4)
+    assert wrow["sk"] == pytest.approx(0.075718, abs=1e-4)
+    assert wrow["ku"] == pytest.approx(1.4400, abs=1e-4)
+    # grouped dispatch
+    n = spark.sql(
+        "SELECT x > 5 AS grp, kurtosis_sample_stat(x) AS k FROM vals GROUP BY 1"
+    ).count()
+    assert n == 2

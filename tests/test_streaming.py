@@ -1,0 +1,256 @@
+"""Streaming integration tests — the pytest analogue of AllUdafIT.java:
+stream in, continuous windowed aggregation, materialized exactly-once sink,
+verified against an independent batch computation (the role of the IT's
+Java oracles, AllUdafIT.java:747-905), plus watermark late-data, checkpoint
+resume, and replay idempotence per north_rule.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_udaf_statistics_spark.sources.tables import (
+    TOKEN_SCHEMA,
+    synthesize_token_table,
+    token_value_streams,
+)
+from ksql_udaf_statistics_spark.streaming.jobs import (
+    grouped_stats_apply_in_pandas,
+    salted_group_stats,
+    windowed_stats,
+)
+from ksql_udaf_statistics_spark.streaming.join import interval_join
+from ksql_udaf_statistics_spark.streaming.sink import (
+    ExactlyOnceParquetSink,
+    run_streaming_stats,
+)
+
+N_DOCS = 2000
+
+
+@pytest.fixture(scope="module")
+def token_df(spark):
+    return synthesize_token_table(spark, N_DOCS, seed=42, duration_seconds=3600).cache()
+
+
+def rows_to_map(rows, keys=("window_start", "source")):
+    return {tuple(str(r[k]) for k in keys): r for r in rows}
+
+
+def assert_stats_equal(got_rows, want_rows, cols, tol=1e-9):
+    got, want = rows_to_map(got_rows), rows_to_map(want_rows)
+    assert got.keys() == want.keys()
+    for k, wr in want.items():
+        gr = got[k]
+        for c in cols:
+            g, w = gr[c], wr[c]
+            if w is not None and isinstance(w, float) and math.isnan(w):
+                assert math.isnan(g), (k, c, g)
+            else:
+                assert g == pytest.approx(w, abs=tol), (k, c, g, w)
+
+
+STAT_COLS = [
+    "n_rows", "skewness", "skewness_sample", "kurtosis", "kurtosis_sample",
+    "stddev_weighted", "skewness_weighted", "kurtosis_weighted",
+]
+
+
+def test_synthesis_is_deterministic_across_parallelism(spark):
+    """Per-row token-array equality at different partition counts — the
+    bitwise invariant from input_hint."""
+    a = synthesize_token_table(spark, 500, seed=7, partitions=2).orderBy("doc_id").collect()
+    b = synthesize_token_table(spark, 500, seed=7, partitions=16).orderBy("doc_id").collect()
+    assert len(a) == len(b) == 500
+    for ra, rb in zip(a, b):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert ra["tokens"] == rb["tokens"]  # exact int equality
+        assert ra["n_tok"] == len(ra["tokens"])
+        assert ra["source"] == rb["source"] and ra["ts"] == rb["ts"]
+
+
+def test_source_distribution_is_skewed(token_df):
+    counts = {r["source"]: r["n"] for r in token_df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    top = max(counts.values())
+    assert top / N_DOCS > 0.2  # heavy head to exercise salting
+
+
+def test_stream_matches_batch_oracle(spark, token_df, tmp_dir):
+    """Tumbling-window stats: streaming (availableNow, foreachBatch EOS
+    sink) == batch computation on the same data."""
+    src_dir = os.path.join(tmp_dir, "src")
+    token_df.repartition(8).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(src_dir)
+    )
+    # watermark > total event-time span: files arrive in arbitrary time
+    # order here, so a tighter watermark would (correctly) drop stragglers;
+    # the late-data path is exercised in test_checkpoint_resume_and_late_data.
+    transform = lambda df: windowed_stats(
+        token_value_streams(df), value="token_mean", weight="n_tok",
+        window_size="10 minutes", watermark="2 hours",
+    )
+    sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "sink"), key_cols=["window_start", "source"]
+    )
+    q = run_streaming_stats(stream, sink, os.path.join(tmp_dir, "ckpt"), transform)
+    q.awaitTermination(120)
+
+    got = sink.read_current(spark).collect()
+    want = transform(spark.read.parquet(src_dir)).collect()
+    assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
+    # ledger recorded at least one committed batch with lineage
+    ledger = sink.committed_batches()
+    assert ledger and all("partitions" in e for e in ledger)
+
+
+def test_replay_same_batch_is_idempotent(spark, token_df, tmp_dir):
+    sink = ExactlyOnceParquetSink(os.path.join(tmp_dir, "sink"), ["source"])
+    agg = salted_group_stats(token_value_streams(token_df), "token_mean", "n_tok")
+    sink(agg, 7)
+    before = sorted(map(str, sink.read_current(spark).collect()))
+    sink(agg, 7)  # crash-replay of the same micro-batch
+    after = sorted(map(str, sink.read_current(spark).collect()))
+    assert before == after
+
+
+def test_checkpoint_resume_and_late_data(spark, tmp_dir):
+    """Two availableNow passes over a growing directory with one shared
+    checkpoint: (a) resume picks up only new files; (b) rows behind the
+    watermark are dropped; (c) final sink == uninterrupted batch oracle on
+    the non-late rows."""
+    src_dir = os.path.join(tmp_dir, "src")
+    os.makedirs(src_dir)
+    base = synthesize_token_table(spark, 1000, seed=1, duration_seconds=3600)
+    on_time = token_value_streams(base)
+    on_time.coalesce(2).write.mode("append").parquet(src_dir)
+
+    transform = lambda df: windowed_stats(
+        df, value="token_mean", weight="n_tok",
+        window_size="10 minutes", watermark="5 minutes",
+    )
+    sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "sink"), key_cols=["window_start", "source"]
+    )
+    ckpt = os.path.join(tmp_dir, "ckpt")
+
+    # pass 1: drain the on-time data, advancing the watermark to ~59:55
+    s1 = spark.readStream.schema(on_time.schema).parquet(src_dir)
+    q1 = run_streaming_stats(s1, sink, ckpt, transform)
+    q1.awaitTermination(120)
+
+    # pass 2: append one very-late row (ts ~ 00:05) and one fresh row
+    late_fresh = (
+        spark.createDataFrame(
+            [
+                ("late-1", [1, 2], 2, "src0", "2024-01-01 00:05:00", 1.5),
+                ("fresh-1", [3, 4], 2, "src0", "2024-01-01 01:10:00", 3.5),
+            ],
+            "doc_id string, tokens array<int>, n_tok int, source string, ts string, token_mean double",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(*on_time.columns)
+    )
+    late_fresh.coalesce(1).write.mode("append").parquet(src_dir)
+    s2 = spark.readStream.schema(on_time.schema).parquet(src_dir)
+    q2 = run_streaming_stats(s2, sink, ckpt, transform)
+    q2.awaitTermination(120)
+
+    got = sink.read_current(spark).collect()
+    oracle_input = spark.read.parquet(src_dir).filter(F.col("doc_id") != "late-1")
+    want = transform(oracle_input).collect()
+    assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
+    fresh_win = [r for r in got if str(r["window_start"]).startswith("2024-01-01 01:10")]
+    assert fresh_win, "resumed pass must have processed the fresh row"
+
+
+def test_salted_equals_direct(spark, token_df):
+    df = token_value_streams(token_df)
+    from ksql_udaf_statistics_spark.streaming.jobs import stat_columns
+
+    direct = (
+        df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *stat_columns("token_mean", "n_tok"))
+        .collect()
+    )
+    salted = salted_group_stats(df, "token_mean", "n_tok", n_salt=8).collect()
+    got = {r["source"]: r for r in salted}
+    for r in direct:
+        g = got[r["source"]]
+        assert g["n_rows"] == r["n_rows"]
+        for c in ["skewness", "kurtosis", "stddev_weighted", "skewness_weighted", "kurtosis_weighted"]:
+            assert g[c] == pytest.approx(r[c], abs=1e-6), (r["source"], c)
+
+
+def test_apply_in_pandas_parity(spark, token_df):
+    df = token_value_streams(token_df)
+    arrow = {r["source"]: r for r in grouped_stats_apply_in_pandas(df, "token_mean", "n_tok").collect()}
+    col = {r["source"]: r for r in salted_group_stats(df, "token_mean", "n_tok").collect()}
+    assert arrow.keys() == col.keys()
+    for s in col:
+        for c in ["skewness", "kurtosis", "stddev_weighted", "skewness_weighted", "kurtosis_weighted"]:
+            assert arrow[s][c] == pytest.approx(col[s][c], abs=1e-6), (s, c)
+
+
+def test_session_window_stats(spark):
+    # two sessions for src0 (gap > 5 min splits), one for src1
+    rows = [
+        ("a", "src0", "2024-01-01 00:00:00", 1.0),
+        ("b", "src0", "2024-01-01 00:02:00", 2.0),
+        ("c", "src0", "2024-01-01 00:20:00", 3.0),
+        ("d", "src1", "2024-01-01 00:00:00", 4.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, source string, ts string, v double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_stats(df, value="v", session_gap="5 minutes").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["src0"]) == 2 and len(by_src["src1"]) == 1
+    sizes = sorted(r["n_rows"] for r in by_src["src0"])
+    assert sizes == [1, 2]
+
+
+def test_interval_join_stream_matches_batch(spark, token_df, tmp_dir):
+    """Watermarked stream-stream join == the same join run in batch."""
+    left_dir, right_dir = os.path.join(tmp_dir, "l"), os.path.join(tmp_dir, "r")
+    left = token_value_streams(token_df).select("doc_id", "source", "ts", "token_mean")
+    right = (
+        token_df.groupBy("source")
+        .agg(F.min("ts").alias("r_ts"))
+        .withColumn("threshold", F.lit(100.0))
+    )
+    left.write.parquet(left_dir)
+    right.write.parquet(right_dir)
+
+    ls = spark.readStream.schema(left.schema).parquet(left_dir)
+    rs = spark.readStream.schema(right.schema).parquet(right_dir)
+    joined = interval_join(
+        ls, rs, on="source", lower="0 minutes", upper="60 minutes",
+        watermark_left="2 hours", watermark_right="2 hours",
+    )
+    sink_dir = os.path.join(tmp_dir, "joined")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", os.path.join(tmp_dir, "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(str(r) for r in spark.read.parquet(sink_dir).collect())
+    want_df = interval_join(
+        spark.read.parquet(left_dir), spark.read.parquet(right_dir),
+        on="source", lower="0 minutes", upper="60 minutes",
+    )
+    want = sorted(str(r) for r in want_df.collect())
+    assert got == want and len(got) > 0
