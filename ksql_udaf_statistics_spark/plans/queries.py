@@ -548,3 +548,142 @@ def q_embedding_near_dups_exact(spark, sf_dir):
 def q_embedding_near_dups_lsh(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     return S.embedding_near_dups(emb, threshold=0.8, planes=16, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# 22-25: additional relational surface (joins, top-k, quantiles, distinct)
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_join_orders",
+    """SELECT o.o_orderkey, count(*) AS n_lines,
+              ROUND(sum(l.l_extendedprice), 6) AS total_price
+       FROM orders o JOIN lineitem l
+         ON l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+       GROUP BY o.o_orderkey""",
+)
+def q_interval_join_orders(spark, sf_dir):
+    """Equality + time-range join — the batch twin of the streaming
+    interval join (streaming/join.py::interval_join)."""
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    cond = (
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] <= F.col("o_orderdate") + F.expr("interval 90 days"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            round6(F.sum("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "topk_users_by_value",
+    """SELECT event_type, user_id, ROUND(total, 6) AS total_value
+       FROM (SELECT event_type, user_id, sum(value) AS total
+             FROM events GROUP BY event_type, user_id)
+       QUALIFY row_number() OVER (
+         PARTITION BY event_type ORDER BY total DESC, user_id ASC) <= 5""",
+)
+def q_topk_users(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(F.sum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("event_type", "user_id", round6(F.col("total")).alias("total_value"))
+    )
+
+
+@register(
+    "value_percentiles",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.95), 6) AS p95
+       FROM events GROUP BY event_type""",
+)
+def q_value_percentiles(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        round6(F.expr("percentile(value, 0.95)")).alias("p95"),
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def q_distinct_users(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL sketch values are engine-specific
+def q_approx_distinct_users(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+@register(
+    "token_value_windowed",
+    """WITH tokd AS (
+         SELECT e.event_type AS source, e.ts,
+                len(string_split(d.text, ' ')) AS n_tok,
+                unnest(list_transform(string_split(d.text, ' '), w -> length(w))) AS tok
+         FROM events e JOIN documents d ON d.doc_id = e.event_id % 500)
+       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              source,
+              count(*) AS n_tokens,
+              ROUND(avg(tok), 6) AS mean_token,
+              ROUND(CASE WHEN (sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2)) <= 0 THEN 0.0
+                    ELSE (sum(pow(tok,3))/count(*) - 3*(sum(tok*1.0)/count(*))*(sum(tok*tok*1.0)/count(*))
+                          + 2*pow(sum(tok*1.0)/count(*), 3))
+                         / pow(sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2), 1.5) END, 6)
+                AS skewness_token
+       FROM tokd GROUP BY 1, 2""",
+)
+def q_token_value_windowed(spark, sf_dir):
+    """The flagship explode-based token-stream statistics, expressed on
+    oracle-able data: events rows joined to word-length token arrays from
+    documents (deterministic doc assignment via event_id % 500)."""
+    ev = _load(spark, sf_dir, "events")
+    docs = tokens_from_documents(_load(spark, sf_dir, "documents")).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    joined = ev.join(
+        F.broadcast(docs), ev["event_id"] % 500 == docs["doc_id"]
+    ).select(ev["event_type"].alias("source"), "ts", "n_tok", F.explode("tokens").alias("tok"))
+    tokd = F.col("tok").cast("double")
+    agg = joined.groupBy(
+        F.window("ts", "1 hour").alias("w"), "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        round6(F.avg(tokd)).alias("mean_token"),
+        F.count(tokd).alias("t_n"),
+        F.sum(tokd).alias("t_s1"),
+        F.sum(tokd * tokd).alias("t_s2"),
+        F.sum(tokd * tokd * tokd).alias("t_s3"),
+    )
+    from ..stats.spark_agg import skewness_from_sums
+
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "source", "n_tokens", "mean_token",
+        round6(skewness_from_sums("t")).alias("skewness_token"),
+    )

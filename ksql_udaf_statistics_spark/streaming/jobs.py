@@ -86,6 +86,79 @@ def windowed_stats(
     )
 
 
+def token_value_windowed_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("source",),
+    window_size: str = "5 minutes",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Per-(window, *keys) statistics over raw token VALUES and over n_tok —
+    the scale-path flagship for 10^12-sequence tables.
+
+    Design: ``explode(tokens)`` then built-in sums. Everything stays inside
+    whole-stage codegen (no interpreted higher-order functions, no Python),
+    and Spark's partial aggregation collapses the exploded rows to one
+    accumulator per (window, key) on the map side BEFORE the shuffle — the
+    shuffle volume is ~250 groups, not 10^14 tokens.
+
+    n_tok statistics ride the same exploded aggregation exactly via an
+    inverse-frequency weight: each doc appears n_tok times, so summing
+    ``n_tok^k / n_tok`` over exploded rows reproduces the doc-level
+    ``Σ n_tok^k`` (and ``Σ 1/n_tok * n_tok = doc count``). No second pass,
+    no second shuffle.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    tok = F.col("tok").cast("double")
+    inv = F.lit(1.0) / F.col("n_tok").cast("double")
+    ntokd = F.col("n_tok").cast("double")
+    exploded = df.select(
+        *keys, ts_col, "n_tok", F.explode("tokens").alias("tok")
+    )
+    agg = exploded.groupBy(
+        F.window(F.col(ts_col), window_size).alias("window"), *keys
+    ).agg(
+        # doc-level n_tok moments via the 1/n_tok weight
+        F.sum(inv).alias("n_docs_d"),
+        F.sum(inv * ntokd).alias("nt_s1"),
+        F.sum(inv * ntokd * ntokd).alias("nt_s2"),
+        F.sum(inv * ntokd * ntokd * ntokd).alias("nt_s3"),
+        # token-value moments (population skew/kurt of the token stream)
+        F.count(tok).alias("t_n"),
+        F.sum(tok).alias("t_s1"),
+        F.sum(tok * tok).alias("t_s2"),
+        F.sum(tok * tok * tok).alias("t_s3"),
+        F.sum(tok * tok * tok * tok).alias("t_s4"),
+    )
+    nd = F.col("n_docs_d")
+    nt_mean = F.col("nt_s1") / nd
+    nt_var_raw = F.col("nt_s2") / nd - nt_mean * nt_mean
+    # the inverse-weight sums re-add each doc's contribution n_tok times, so
+    # a mathematically-zero variance comes back as ~mean^2 * 1e-13 of FP
+    # noise; clamp with a RELATIVE epsilon or the zero-variance guard never
+    # fires and skewness would divide by noise^1.5 (reference semantics:
+    # zero variance -> exactly 0.0, SkewnessUdaf.java:173-175)
+    nt_var = F.when(
+        nt_var_raw <= nt_mean * nt_mean * 1e-10, F.lit(0.0)
+    ).otherwise(nt_var_raw)
+    nt_m3 = F.col("nt_s3") / nd - 3.0 * nt_mean * (F.col("nt_s2") / nd) + 2.0 * F.pow(nt_mean, 3)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        F.round(nd).cast("long").alias("n_docs"),
+        F.col("t_n").alias("n_tokens"),
+        SA.skewness_from_sums("t").alias("skewness_token"),
+        SA.kurtosis_from_sums("t").alias("kurtosis_token"),
+        nt_mean.alias("mean_n_tok"),
+        F.sqrt(F.greatest(nt_var, F.lit(0.0))).alias("stddev_n_tok"),
+        F.when(nt_var <= 0.0, F.lit(0.0))
+        .otherwise(nt_m3 / F.pow(nt_var, 1.5))
+        .alias("skewness_n_tok"),
+    )
+
+
 def salted_group_stats(
     df: DataFrame,
     value: str,

@@ -254,3 +254,37 @@ def test_interval_join_stream_matches_batch(spark, token_df, tmp_dir):
     )
     want = sorted(str(r) for r in want_df.collect())
     assert got == want and len(got) > 0
+
+
+def test_token_value_windowed_stats_matches_pandas(spark):
+    from ksql_udaf_statistics_spark.streaming.jobs import token_value_windowed_stats
+
+    df = synthesize_token_table(spark, 400, seed=9, duration_seconds=1200).cache()
+    got = {
+        (str(r["window_start"]), r["source"]): r
+        for r in token_value_windowed_stats(df, window_size="5 minutes").collect()
+    }
+    pdf = df.toPandas()
+    import numpy as np
+    import pandas as pd
+
+    pdf["window_start"] = pdf["ts"].dt.floor("5min")
+    for (w, src), grp in pdf.groupby(["window_start", "source"]):
+        key = (str(w), src)
+        r = got[key]
+        toks = np.concatenate([np.asarray(t, dtype=float) for t in grp["tokens"]])
+        assert r["n_docs"] == len(grp)
+        assert r["n_tokens"] == len(toks)
+        mean = toks.mean(); var = toks.var()
+        if var > 0:
+            m3 = (toks**3).mean() - 3*mean*(toks**2).mean() + 2*mean**3
+            m4 = ((toks**4).mean() - 4*mean*(toks**3).mean()
+                  + 6*mean*mean*(toks**2).mean() - 3*mean**4)
+            assert r["skewness_token"] == pytest.approx(m3 / var**1.5, rel=1e-6, abs=1e-6)
+            assert r["kurtosis_token"] == pytest.approx(m4 / var**2, rel=1e-6, abs=1e-6)
+        nt = grp["n_tok"].to_numpy(dtype=float)
+        assert r["mean_n_tok"] == pytest.approx(nt.mean(), rel=1e-6)
+        assert r["stddev_n_tok"] == pytest.approx(nt.std(), rel=1e-6, abs=1e-4)
+        if nt.std() > 0:
+            m3n = (nt**3).mean() - 3*nt.mean()*(nt**2).mean() + 2*nt.mean()**3
+            assert r["skewness_n_tok"] == pytest.approx(m3n / nt.var()**1.5, rel=1e-6, abs=1e-6)
