@@ -687,3 +687,37 @@ def q_token_value_windowed(spark, sf_dir):
         "source", "n_tokens", "mean_token",
         round6(skewness_from_sums("t")).alias("skewness_token"),
     )
+
+
+@register("ann_ivf_topk")  # rows-only: IVF recall < 1 by design
+def q_ann_ivf(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "cumulative_stats_all",
+    f"""WITH s AS ({_POW_SUMS})
+    SELECT event_type, n AS n_rows,
+      ROUND(CASE WHEN n = 0 THEN 0.0
+            WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
+            ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
+      ROUND(CASE WHEN n = 0 THEN 0.0
+            WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
+            ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*pow(s1/n, 4))
+                 / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) AS kurtosis
+    FROM s""",
+)
+def q_cumulative_stats_all(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState cumulative operator
+    (streaming/stateful.py): the value it converges to after draining the
+    stream; streaming state + checkpoint resume is pytest-verified in
+    tests/test_stateful.py."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        round6(SA.skewness("value")).alias("skewness"),
+        round6(SA.kurtosis("value")).alias("kurtosis"),
+    )

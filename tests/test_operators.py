@@ -229,3 +229,26 @@ def test_frame_sample_plan(spark):
     for r in rows:
         n_frames = meta[r["media_id"]]
         assert r["n"] == len(range(0, n_frames, 10))
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF must achieve high recall when the corpus actually clusters:
+    synthesize 8 well-separated clusters, query members of each."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, size=(8, 32)) * 10
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(60):
+            rows.append((vid, (c + rng.normal(0, 0.5, 32)).astype("float32").tolist(), ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    queries = df.filter(F.col("vec_id") % 60 == 0)  # one per cluster
+    exact = S.brute_force_topk(df, queries, k=5)
+    approx = S.ivf_topk(df, queries, k=5, n_centroids=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall too low on clustered data: {recall}"
