@@ -33,7 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # streaming corpus: must be LARGE enough that per-row token work dominates
 # micro-batch fixed overhead, or parallelism can't show (scaling efficiency
 # collapses on overhead-bound workloads)
-N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQUENCES", "8000000"))
+N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQUENCES", "4000000"))
 # shared pre-generated source: both scaling runs must read IDENTICAL files
 STREAM_SRC = os.environ.get("SPARK_GRAFT_STREAM_SRC", "")
 # fixed file layout independent of CPUS so local[8] and local[32] stream
