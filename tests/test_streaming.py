@@ -288,3 +288,67 @@ def test_token_value_windowed_stats_matches_pandas(spark):
         if nt.std() > 0:
             m3n = (nt**3).mean() - 3*nt.mean()*(nt**2).mean() + 2*nt.mean()**3
             assert r["skewness_n_tok"] == pytest.approx(m3n / nt.var()**1.5, rel=1e-6, abs=1e-6)
+
+
+def test_sliding_window_stream_matches_batch(spark, token_df, tmp_dir):
+    """Sliding windows through the streaming path == batch on same data."""
+    src_dir = os.path.join(tmp_dir, "src")
+    token_value_streams(token_df).repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    transform = lambda df: windowed_stats(
+        df, value="token_mean", weight="n_tok",
+        window_size="10 minutes", slide="5 minutes", watermark="2 hours",
+    )
+    sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "sink"), key_cols=["window_start", "source"]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src_dir)
+    q = run_streaming_stats(stream, sink, os.path.join(tmp_dir, "ckpt"), transform)
+    q.awaitTermination(120)
+    got = sink.read_current(spark).collect()
+    want = transform(spark.read.parquet(src_dir)).collect()
+    assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
+    # every row belongs to exactly 2 sliding windows
+    assert sum(r["n_rows"] for r in got) == 2 * N_DOCS
+
+
+def test_session_window_stream(spark, tmp_dir):
+    """Session windows through the streaming path (append mode +
+    watermark): final sessions == batch sessionization on same data."""
+    rows = [
+        ("a", "src0", "2024-01-01 00:00:00", 1.0),
+        ("b", "src0", "2024-01-01 00:02:00", 2.0),
+        ("c", "src0", "2024-01-01 00:20:00", 3.0),
+        ("d", "src1", "2024-01-01 00:01:00", 4.0),
+        ("e", "src1", "2024-01-01 03:00:00", 5.0),  # watermark pusher
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id string, source string, ts string, v double")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src_dir = os.path.join(tmp_dir, "src")
+    df.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    agg = windowed_stats(
+        stream, value="v", session_gap="5 minutes", watermark="10 minutes"
+    )
+    out_dir = os.path.join(tmp_dir, "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["source"]): r["n_rows"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # sessions fully before the final watermark (03:00 - 10min) are emitted
+    want = {
+        ("2024-01-01 00:00:00", "src0"): 2,
+        ("2024-01-01 00:20:00", "src0"): 1,
+        ("2024-01-01 00:01:00", "src1"): 1,
+    }
+    assert got == want
