@@ -721,3 +721,60 @@ def q_cumulative_stats_all(spark, sf_dir):
         round6(SA.skewness("value")).alias("skewness"),
         round6(SA.kurtosis("value")).alias("kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 26-27: rollup aggregates and as-of join
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_pricing",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              coalesce(l_linestatus, 'ALL') AS linestatus,
+              count(*) AS n, ROUND(sum(l_extendedprice), 6) AS total
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup_pricing(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), round6(F.sum("l_extendedprice")).alias("total"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "total",
+        )
+    )
+
+
+@register(
+    "asof_join_events",
+    """SELECT e.event_id, e.user_id,
+              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              ROUND(o.o_totalprice, 6) AS last_order_price
+       FROM events e
+       ASOF LEFT JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: each event gets the user's most recent order price at
+    event time (operators/asof.py, cogrouped pandas merge_asof; oracle is
+    DuckDB's native ASOF JOIN)."""
+    from ..operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("key"), "ts"
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("r_ts"),
+        F.col("o_totalprice").alias("last_order_price"),
+    )
+    out = asof_join(ev, orders, on="key", left_ts="ts", right_ts="r_ts",
+                    right_vals=["last_order_price"])
+    return out.select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        round6(F.col("last_order_price")).alias("last_order_price"),
+    )

@@ -252,3 +252,25 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"IVF recall too low on clustered data: {recall}"
+
+
+def test_asof_join_edges(spark):
+    from ksql_udaf_statistics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00", 1), ("k1", "2024-01-01 12:00:00", 2),
+         ("k2", "2024-01-01 10:00:00", 3),  # key with no right rows
+         ("k1", "2024-01-01 08:00:00", 4)],  # before any right row
+        "key string, ts string, event_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 09:00:00", 100.0), ("k1", "2024-01-01 11:00:00", 200.0)],
+        "key string, r_ts string, price double",
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+    out = {r["event_id"]: r["price"] for r in asof_join(
+        left, right, on="key", left_ts="ts", right_ts="r_ts", right_vals=["price"]
+    ).collect()}
+    assert out[1] == 100.0   # latest right <= 10:00 is 09:00
+    assert out[2] == 200.0   # latest right <= 12:00 is 11:00
+    assert out[3] is None    # key without right rows
+    assert out[4] is None    # left row before any right row
