@@ -48,6 +48,41 @@ def round6(c) -> F.Column:
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
+def mean6(c) -> F.Column:
+    """Tie-safe 6-decimal mean of a double column.
+
+    ``round6(F.avg(c))`` is vulnerable to round-half ties: Spark and the
+    DuckDB oracle accumulate doubles in different orders, so a mean whose
+    true value sits exactly on a …5 boundary at the 6th decimal (e.g.
+    43.4728125) rounds to 43.472812 on one engine and 43.472813 on the
+    other (CORRECTNESS_r01 tumbling_window_stats, 1 row of 3385).
+
+    Fix, two layers:
+    1. sum in exact decimal(38,12) arithmetic — order-independent, so both
+       engines produce the *identical* decimal — then one IEEE division by
+       the count yields a bit-identical double on both engines;
+    2. round that double via decimal(38,12), not double-ROUND: Spark's
+       F.round(double) is Java HALF_UP while DuckDB's round(double) is
+       nearbyint (half-to-even), so they still disagree on exact-tie
+       doubles. Both engines' *decimal* ROUND is half-away-from-zero, so
+       casting the identical double to decimal(38,12) first makes the tie
+       resolve identically.
+    Pair with :func:`mean6_sql` on the oracle side.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    s = F.sum(col.cast("decimal(38,12)"))
+    m = F.round((s.cast("double") / F.count(col)).cast("decimal(38,12)"), 6).cast("double")
+    return F.when(F.isnan(m), F.lit(None).cast("double")).otherwise(m)
+
+
+def mean6_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`mean6` for a column/expression."""
+    return (
+        f"CAST(ROUND(CAST(CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / count({expr}) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+    )
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -193,10 +228,10 @@ def q_kurtosis_weighted(spark, sf_dir):
 
 @register(
     "tumbling_window_stats",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type,
               count(*) AS n_rows,
-              ROUND(avg(value), 6) AS mean_value,
+              {mean6_sql('value')} AS mean_value,
               ROUND(stddev_pop(value), 6) AS stddev_value,
               ROUND(skewness(value), 6) AS skewness_sample
        FROM events GROUP BY 1, 2""",
@@ -207,7 +242,7 @@ def q_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            round6(F.avg("value")).alias("mean_value"),
+            mean6("value").alias("mean_value"),
             round6(SA.stddev_weighted("value", F.lit(1.0))).alias("stddev_value"),
             round6(SA.skewness("value", sample=True)).alias("skewness_sample"),
         )
@@ -220,18 +255,18 @@ def q_tumbling(spark, sf_dir):
 
 @register(
     "sliding_window_stats",
-    """WITH slid AS (
+    f"""WITH slid AS (
          SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/1800) * 1800 - o.off) * 1000 AS BIGINT)) AS ws
          FROM events e, (SELECT unnest([0, 1800]) AS off) o)
        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-              event_type, count(*) AS n_rows, ROUND(avg(value), 6) AS mean_value
+              event_type, count(*) AS n_rows, {mean6_sql('value')} AS mean_value
        FROM slid GROUP BY 1, 2""",
 )
 def q_sliding(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_rows"), round6(F.avg("value")).alias("mean_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), mean6("value").alias("mean_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n_rows", "mean_value",
@@ -241,7 +276,7 @@ def q_sliding(spark, sf_dir):
 
 @register(
     "session_window_stats",
-    """WITH flagged AS (
+    f"""WITH flagged AS (
          SELECT user_id, ts, value,
                 CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                + INTERVAL 30 MINUTE
@@ -256,14 +291,14 @@ def q_sliding(spark, sf_dir):
        SELECT user_id,
               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
               count(*) AS n_events,
-              ROUND(avg(value), 6) AS mean_value
+              {mean6_sql('value')} AS mean_value
        FROM sessions GROUP BY user_id, session_id""",
 )
 def q_session(spark, sf_dir):
     ev = _load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), round6(F.avg("value")).alias("mean_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), mean6("value").alias("mean_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -415,8 +450,8 @@ def q_text_profile(spark, sf_dir):
                           * 1.0 / greatest(length(text), 1) * 5.0) AS punct_score
           FROM documents)
         SELECT source, count(*) AS n_docs,
-               sum(CASE WHEN 0.4*len_score + 0.4*stop_score + 0.2*punct_score >= 0.5
-                        THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(CASE WHEN 0.4*len_score + 0.4*stop_score + 0.2*punct_score >= 0.5
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM prof GROUP BY source""",
 )
 def q_quality_filter(spark, sf_dir):
