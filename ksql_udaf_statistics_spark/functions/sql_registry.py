@@ -84,3 +84,42 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     for name, fn in fns.items():
         spark.udf.register(name, fn)
     return sorted(fns)
+
+
+#: reference SQL names that collide with Spark builtins whose conventions
+#: differ (builtin skewness/kurtosis are sample G1 / population EXCESS;
+#: the reference's are population RAW — README.md:31, SkewnessUdaf.java:166).
+_BUILTIN_COLLISIONS = {"skewness": "skewness_stat", "kurtosis": "kurtosis_stat"}
+
+
+def register_reference_names(spark: SparkSession, force: bool = False) -> list[str]:
+    """Register the UDAFs under the reference's exact SQL names.
+
+    ``skewness`` and ``kurtosis`` collide with Spark builtins that Spark's
+    resolver prefers over session UDFs — a ksqlDB user typing the
+    reference names would SILENTLY get Spark's conventions (sample G1 /
+    excess kurtosis) instead of the reference's population RAW forms.
+    This refuses by default with the exact remedy; ``force=True`` registers
+    anyway (the UDF still loses to the builtin at resolution time, so
+    forcing only makes sense on a session where the builtin is blocked)
+    and emits a loud warning.
+    """
+    if not force:
+        hints = ", ".join(f"{k} -> {v}" for k, v in _BUILTIN_COLLISIONS.items())
+        raise ValueError(
+            "Refusing to register UDAFs under reference names that Spark's "
+            "resolver shadows with builtins of DIFFERENT semantics "
+            f"({hints}). Call register_sql_functions() and use the _stat "
+            "names, or pass force=True to accept that SQL 'skewness'/"
+            "'kurtosis' will still resolve to the Spark builtins."
+        )
+    import warnings
+
+    warnings.warn(
+        "Registered reference-named UDAFs, but Spark resolves builtin "
+        "skewness/kurtosis FIRST: SQL calls to those names use Spark's "
+        "conventions, not the reference's.",
+        stacklevel=2,
+    )
+    registered = register_sql_functions(spark)
+    return registered

@@ -175,6 +175,43 @@ def lsh_topk(
     )
 
 
+def embedding_near_dups_exact(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """All-pairs cosine near-duplicates — the EXACTNESS BASELINE.
+
+    This is a BroadcastNestedLoopJoin: O(n^2) comparisons. It exists to
+    validate the LSH path's recall at test scale, not to run on a real
+    corpus. A guard refuses above ``max_rows`` (10^5 rows is already
+    5*10^9 comparisons) and points at :func:`embedding_near_dups`, the
+    banded-LSH scale path with identical output semantics minus recall.
+    """
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dups_exact is the quadratic exactness baseline "
+            f"({n} rows > max_rows={max_rows}; ~{n * (n - 1) // 2:.2g} "
+            f"comparisons). Use embedding_near_dups() (LSH-blocked) for "
+            f"real corpora, or raise max_rows explicitly if you mean it."
+        )
+    a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cos_sim",
+            dot("_va", "_vb").cast("double")
+            / (norm("_va") * norm("_vb")).cast("double"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,

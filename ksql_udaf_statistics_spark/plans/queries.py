@@ -564,18 +564,12 @@ def q_ann_bruteforce(spark, sf_dir):
                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8""",
 )
 def q_embedding_near_dups_exact(spark, sf_dir):
+    """Quadratic exactness baseline; guarded by max_rows — the scale path
+    is embedding_near_dups_lsh (operators/similarity.py)."""
     emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "cos_sim",
-            S.dot("va", "vb").cast("double")
-            / (S.norm("va") * S.norm("vb")).cast("double"),
-        )
-        .filter(F.col("cos_sim") >= 0.8)
-        .select("doc_a", "doc_b", round6(F.col("cos_sim")).alias("cos_sim"))
+    out = S.embedding_near_dups_exact(emb, threshold=0.8)
+    return out.select(
+        "doc_a", "doc_b", round6(F.col("cos_sim")).alias("cos_sim")
     )
 
 

@@ -176,8 +176,12 @@ def salted_group_stats(
     skewed that one reducer would own most rows (e.g. the Zipf ``source``
     head at 10^12 rows).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
-                  n_salt).alias("_salt")
+    # Salt from a hash of the full row, NOT monotonically_increasing_id():
+    # the latter changes across task retries, so after a fetch failure a
+    # recomputed map task could re-salt rows differently and double-count /
+    # lose partial sums in partially-consumed reduce partitions
+    # (SPARK-23207 class of bug). Row-content hashing is retry-stable.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salt).alias("_salt")
     partial_aggs = SA.moment_sums(value)
     if weight is not None:
         partial_aggs = partial_aggs + SA.weighted_sums(value, weight)

@@ -274,3 +274,67 @@ def test_asof_join_edges(spark):
     assert out[2] == 200.0   # latest right <= 12:00 is 11:00
     assert out[3] is None    # key without right rows
     assert out[4] is None    # left row before any right row
+
+
+def test_asof_join_tie_and_paths_agree(spark):
+    """Timestamp ties resolve deterministically (greatest value wins) and
+    the pandas and pure-Column paths produce identical results — including
+    on a skewed key that dominates the input."""
+    import random
+
+    from ksql_udaf_statistics_spark.operators.asof import (
+        asof_join,
+        asof_join_columns,
+    )
+
+    rng = random.Random(7)
+    # one dominant key (k0: 2000 rows) + 10 small keys; duplicate right ts
+    left_rows = [
+        (f"k{0 if i < 2000 else rng.randint(1, 10)}",
+         f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00",
+         i)
+        for i in range(2400)
+    ]
+    right_rows = []
+    for i in range(600):
+        k = f"k{0 if i < 500 else rng.randint(1, 10)}"
+        ts = f"2024-01-01 {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:00"
+        right_rows.append((k, ts, float(rng.randint(1, 100))))
+        if i % 7 == 0:  # force duplicate right timestamps
+            right_rows.append((k, ts, float(rng.randint(1, 100))))
+    left = spark.createDataFrame(
+        left_rows, "key string, ts string, event_id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        right_rows, "key string, r_ts string, price double"
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    kw = dict(on="key", left_ts="ts", right_ts="r_ts", right_vals=["price"])
+    a = {r["event_id"]: r["price"] for r in asof_join(left, right, **kw).collect()}
+    b = {r["event_id"]: r["price"]
+         for r in asof_join_columns(left, right, **kw).collect()}
+    assert a == b
+    # repartitioning must not change the result (stable tie rule)
+    c = {r["event_id"]: r["price"]
+         for r in asof_join(left.repartition(13), right.repartition(5), **kw).collect()}
+    assert a == c
+    # tie rule: at equal right timestamps the greatest value wins
+    best = {}
+    for k, ts, v in right_rows:
+        best[(k, ts)] = max(v, best.get((k, ts), v))
+    for k, lts, eid in left_rows:
+        cands = [(ts, val) for (kk, ts), val in best.items()
+                 if kk == k and ts <= lts]
+        expected = max(cands)[1] if cands else None
+        assert a[eid] == expected, (eid, k, lts, a[eid], expected)
+
+
+def test_embedding_near_dups_exact_guard_fires(spark, emb):
+    """The quadratic exactness baseline refuses corpora above max_rows and
+    names the LSH scale path in the error."""
+    with pytest.raises(ValueError, match="embedding_near_dups"):
+        S.embedding_near_dups_exact(emb, threshold=0.9, max_rows=10)
+    # under the cap it runs (and at this corpus there are no 0.9-near-dups)
+    assert S.embedding_near_dups_exact(
+        emb.limit(20), threshold=0.999, max_rows=100
+    ).count() == 0

@@ -40,7 +40,7 @@ def duck(sf_dir):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0, "entry() returned an empty result"
     assert "skewness" in df.columns and "window_start" in df.columns
 
 
@@ -61,7 +61,16 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert _rowset(spark_cols, spark_rows) == _rowset(duck_cols, duck_rows)
 
 
+# rows-only queries that legitimately return zero rows at test scale
+# (LSH near-dup recall over a corpus with no true near-duplicates)
+MAY_BE_EMPTY = {"embedding_near_dups_lsh"}
+
+
 @pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = entry_mod.queries()[name](spark, sf_dir)
-    assert df.count() >= 0
+    n = df.count()
+    if name in MAY_BE_EMPTY:
+        assert n >= 0
+    else:
+        assert n > 0, f"rows-only query {name} returned an empty result"

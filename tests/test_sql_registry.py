@@ -33,3 +33,21 @@ def test_sql_registered_udafs(spark):
         "SELECT x > 5 AS grp, kurtosis_sample_stat(x) AS k FROM vals GROUP BY 1"
     ).count()
     assert n == 2
+
+
+def test_reference_name_registration_guard(spark):
+    """Registering under the reference's SQL names must fail loudly: Spark
+    resolves builtin skewness/kurtosis first and their conventions differ
+    (builtin = sample G1 / excess; reference = population RAW)."""
+    import warnings
+
+    from ksql_udaf_statistics_spark.functions.sql_registry import (
+        register_reference_names,
+    )
+
+    with pytest.raises(ValueError, match="skewness"):
+        register_reference_names(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        names = register_reference_names(spark, force=True)
+    assert names and any("builtin" in str(x.message) for x in w)

@@ -352,3 +352,145 @@ def test_session_window_stream(spark, tmp_dir):
         ("2024-01-01 00:01:00", "src1"): 1,
     }
     assert got == want
+
+
+def test_kafka_json_source_parity(spark, tmp_dir):
+    """The reference's only source is a Kafka JSON stream with a declared
+    schema (AllUdafIT.java:557-583, README.md:142-143). Exercise the same
+    contract end-to-end: binary `value` payloads -> cast to string ->
+    from_json with the DECLARED schema -> windowed stats -> JSON output
+    with the NaN->null boundary (AllUdafIT.java:675-680). A Kafka broker is
+    substituted by a file stream carrying identical (key, value) wire rows;
+    swapping in `readStream.format("kafka")` changes only the reader line.
+    """
+    import json as _json
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    declared = StructType([
+        StructField("val", DoubleType()),          # CREATE STREAM input (val DOUBLE, weight DOUBLE)
+        StructField("weight", DoubleType()),
+        StructField("source", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    rows = []
+    for i in range(40):
+        rows.append(_json.dumps({
+            "val": float(i % 7) + 0.5, "weight": 1.0 + (i % 3),
+            "source": f"s{i % 2}", "ts": f"2024-01-01 00:{i % 50:02d}:00",
+        }))
+    rows.append(_json.dumps({"val": None, "weight": 1.0, "source": "s0",
+                             "ts": "2024-01-01 00:01:00"}))  # JSON null value
+    rows.append(_json.dumps({"val": 9.0, "weight": 1.0, "source": "s0",
+                             "ts": "2024-01-01 05:00:00"}))  # lone row: n<3 -> NaN sample stats
+    rows.append("{not valid json")                            # malformed record
+    src_dir = os.path.join(tmp_dir, "wire")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "part-0.txt"), "w") as f:
+        f.write("\n".join(rows))
+
+    raw = (
+        spark.readStream.format("text").load(src_dir)
+        # mirror the Kafka wire: value is bytes
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    decoded = (
+        raw.select(F.from_json(F.col("value").cast("string"), declared).alias("r"))
+        .select("r.*")
+        .filter(F.col("r.ts").isNotNull())  # malformed rows decode to null struct
+    )
+    transform = lambda df: windowed_stats(
+        df, value="val", weight="weight", keys=("source",),
+        window_size="30 minutes", watermark="2 hours",
+    )
+    sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "sink"), key_cols=["window_start", "source"]
+    )
+    q = run_streaming_stats(decoded, sink, os.path.join(tmp_dir, "ckpt"),
+                            transform)
+    q.awaitTermination(120)
+    out = sink.read_current(spark)
+
+    # (a) declared-schema contract survived the decode + aggregate
+    got_types = dict(out.dtypes)
+    for c in STAT_COLS[1:]:
+        assert got_types[c] == "double", (c, got_types[c])
+    assert got_types["source"] == "string"
+
+    # (b) batch equivalence on the same wire data through the same decode
+    batch = (
+        spark.read.format("text").load(src_dir)
+        .select(F.from_json(F.col("value").cast("string"), declared).alias("r"))
+        .select("r.*").filter(F.col("r.ts").isNotNull())
+    )
+    assert_stats_equal(out.collect(), transform(batch).collect(), STAT_COLS,
+                       tol=1e-9)
+
+    # (c) NaN -> null at the JSON sink boundary (ksqlDB serializes NaN as
+    # JSON null; the IT converts back for asserts, AllUdafIT.java:675-680)
+    nan_safe = out.select(
+        "window_start", "source",
+        *[
+            F.when(F.isnan(F.col(c)), F.lit(None).cast("double"))
+            .otherwise(F.col(c)).alias(c)
+            for c in STAT_COLS[1:]
+        ],
+    )
+    js = nan_safe.select(F.to_json(F.struct("*")).alias("j")).collect()
+    assert js and all("NaN" not in r["j"] for r in js)
+    # a single-element window makes sample stats NaN -> serialized as absent/null
+    single = [r["j"] for r in js]
+    assert any('"skewness_sample"' not in j or '"skewness_sample":null' in j
+               for j in single)
+
+
+def test_merge_upsert_sink_key_level(spark, tmp_dir):
+    """MergeUpsertParquetSink maintains exactly one row per key at write
+    time (Iceberg MERGE semantics), survives replays, and overlapping keys
+    across batches take the newest value."""
+    from ksql_udaf_statistics_spark.streaming.sink import MergeUpsertParquetSink
+
+    sink = MergeUpsertParquetSink(os.path.join(tmp_dir, "merge"), ["k"])
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("b", 20.0), ("c", 3.0)], "k string, v double")
+
+    sink(b0, 0)
+    assert {(r["k"], r["v"]) for r in sink.read_current(spark).collect()} == \
+        {("a", 1.0), ("b", 2.0)}
+    sink(b1, 1)
+    want = {("a", 1.0), ("b", 20.0), ("c", 3.0)}
+    assert {(r["k"], r["v"]) for r in sink.read_current(spark).collect()} == want
+    # crash-replay of the last batch: must merge against pre-batch state
+    sink(b1, 1)
+    got = [(r["k"], r["v"]) for r in sink.read_current(spark).collect()]
+    assert set(got) == want and len(got) == 3  # exactly one row per key
+    # ledger has per-partition lineage for every commit
+    assert all("partitions" in e for e in sink.committed_batches())
+
+
+def test_merge_upsert_sink_streaming_end_to_end(spark, token_df, tmp_dir):
+    """Streaming updates flowing through the MERGE sink equal the batch
+    aggregate — one row per (window, source) with the final state."""
+    from ksql_udaf_statistics_spark.streaming.sink import MergeUpsertParquetSink
+
+    src_dir = os.path.join(tmp_dir, "src")
+    token_df.repartition(6).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    transform = lambda df: windowed_stats(
+        token_value_streams(df), value="token_mean", weight="n_tok",
+        window_size="10 minutes", watermark="2 hours",
+    )
+    sink = MergeUpsertParquetSink(
+        os.path.join(tmp_dir, "sink"), key_cols=["window_start", "source"]
+    )
+    q = run_streaming_stats(stream, sink, os.path.join(tmp_dir, "ckpt"), transform)
+    q.awaitTermination(120)
+    got = sink.read_current(spark).collect()
+    want = transform(spark.read.parquet(src_dir)).collect()
+    assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
