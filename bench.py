@@ -217,12 +217,21 @@ def bench_streaming(spark) -> dict:
         steady_rows = sum(b["rows"] for b in steady)
         steady_ms = sum(b["trigger_ms"] for b in steady)
         durations = sorted(b["trigger_ms"] for b in nonempty)
+        # peak sustained batch: the per-batch best is the noise-robust
+        # capability signal on a host with time-varying hypervisor steal
+        # (a 2-batch steady sum averages a clean and a stolen window)
+        best_batch = max(
+            (b["rows"] / (b["trigger_ms"] / 1000.0) for b in steady
+             if b["trigger_ms"]), default=None)
         return {
             "n_sequences": N_SEQ,
             "elapsed_sec": round(elapsed, 3),
             "sequences_per_sec": round(N_SEQ / elapsed, 1),
             "steady_sequences_per_sec": round(steady_rows / (steady_ms / 1000.0), 1)
             if steady_ms else None,
+            "best_batch_sequences_per_sec": round(best_batch, 1) if best_batch else None,
+            "batches": [{"rows": b["rows"], "trigger_ms": b["trigger_ms"]}
+                        for b in nonempty],
             "n_batches": len(sink.committed_batches()),
             "batch_p50_ms": statistics.median(durations) if durations else None,
         }

@@ -1,0 +1,525 @@
+"""ksqlDB-dialect front-end: run the reference's own SQL on this engine.
+
+The reference ships no engine — its users talk to it through ksqlDB SQL
+(README.md:139-172, AllUdafIT.java:562-663). This module accepts exactly
+those statement shapes so a reference user can paste their queries
+unchanged:
+
+- ``CREATE STREAM name (col TYPE, ...) WITH (kafka_topic='t',
+  value_format='json' [, partitions=N] [, timestamp='col'])``
+  (AllUdafIT.java:562-567, README.md:142-143). The Kafka topic is
+  substituted by a JSON-lines directory (documented engine substitution —
+  swapping in ``readStream.format("kafka")`` changes one reader line);
+  ``value_format='json'`` is honored literally: inserts are serialized to
+  JSON and the stream is decoded with ``from_json`` against the declared
+  schema, preserving the NaN<->null wire convention
+  (AllUdafIT.java:675-680).
+- ``CREATE TABLE name [WITH (...)] AS SELECT ... FROM stream
+  [WINDOW TUMBLING (SIZE n UNIT) | HOPPING (SIZE n UNIT, ADVANCE BY m
+  UNIT) | SESSION (n UNIT)] GROUP BY key EMIT CHANGES``
+  (AllUdafIT.java:593-600, README.md:146-172) — a continuously
+  maintainable materialized table backed by Structured Streaming with the
+  exactly-once foreachBatch sink; ``WINDOWSTART`` is supported in the
+  select list (README.md:166).
+- ``INSERT INTO name (cols) VALUES (...);`` — multiple statements per
+  call, as the IT sends them (AllUdafIT.java:623-630).
+- pull queries ``SELECT * FROM table [WHERE col = lit]``
+  (AllUdafIT.java:655) against the materialized state, NaN returned as
+  None per the JSON convention.
+- ``SHOW FUNCTIONS`` — the registered UDAF surface.
+
+UDAF dispatch matches the reference's SQL names and init-args:
+``SKEWNESS(col[, true])`` / ``KURTOSIS(col[, true])`` (isSample
+constructor arg, SkewnessUdaf.java:81, KurtosisUdaf.java:84) and
+``STDDEV_WEIGHTED/SKEWNESS_WEIGHTED/KURTOSIS_WEIGHTED(val, weight)``
+(README.md:29-37) — resolved to this engine's sum-decomposed Column
+aggregates, never to Spark's same-named builtins (whose conventions
+differ).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..stats import spark_agg as SA
+from ..streaming.sink import ExactlyOnceParquetSink, run_streaming_stats
+
+_TYPES = {
+    "DOUBLE": DoubleType(),
+    "BIGINT": LongType(),
+    "INTEGER": IntegerType(),
+    "INT": IntegerType(),
+    "VARCHAR": StringType(),
+    "STRING": StringType(),
+    "BOOLEAN": BooleanType(),
+    "TIMESTAMP": TimestampType(),
+}
+
+_WINDOW_UNITS = {
+    "MILLISECOND": "milliseconds", "MILLISECONDS": "milliseconds",
+    "SECOND": "seconds", "SECONDS": "seconds",
+    "MINUTE": "minutes", "MINUTES": "minutes",
+    "HOUR": "hours", "HOURS": "hours",
+    "DAY": "days", "DAYS": "days",
+}
+
+
+@dataclass
+class StreamSpec:
+    name: str
+    schema: StructType
+    path: str
+    ts_col: Optional[str]  # WITH (timestamp='col'); None -> synthetic ROWTIME
+
+
+@dataclass
+class TableSpec:
+    name: str
+    source: str
+    select: list
+    group_by: list
+    window: Optional[dict]
+    sink: ExactlyOnceParquetSink
+    checkpoint: str
+    with_opts: dict = field(default_factory=dict)
+
+
+class KsqlParseError(ValueError):
+    pass
+
+
+def _parse_with(clause: str) -> dict:
+    opts = {}
+    for m in re.finditer(r"(\w+)\s*=\s*(?:'([^']*)'|(\d+))", clause):
+        opts[m.group(1).lower()] = m.group(2) if m.group(2) is not None else int(m.group(3))
+    return opts
+
+
+def _duration(n: str, unit: str) -> str:
+    u = _WINDOW_UNITS.get(unit.upper())
+    if u is None:
+        raise KsqlParseError(f"unknown window unit {unit!r}")
+    return f"{n} {u}"
+
+
+class KsqlEngine:
+    """Minimal ksqlDB-statement executor over the PySpark engine."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.streams: dict[str, StreamSpec] = {}
+        self.tables: dict[str, TableSpec] = {}
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- public API ----------------------------------------------------------
+
+    def execute(self, sql: str):
+        """Execute one or more ';'-separated ksqlDB statements; returns the
+        last statement's result (rows for pull queries / SHOW, else None)."""
+        result = None
+        for stmt in self._split(sql):
+            result = self._execute_one(stmt)
+        return result
+
+    # -- statement dispatch --------------------------------------------------
+
+    def _split(self, sql: str) -> list[str]:
+        parts, buf, in_str = [], [], False
+        for ch in sql:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                s = "".join(buf).strip()
+                if s:
+                    parts.append(s)
+                buf = []
+            else:
+                buf.append(ch)
+        s = "".join(buf).strip()
+        if s:
+            parts.append(s)
+        return parts
+
+    def _execute_one(self, stmt: str):
+        head = stmt.lstrip().upper()
+        if head.startswith("CREATE STREAM"):
+            return self._create_stream(stmt)
+        if head.startswith("CREATE TABLE"):
+            return self._create_table(stmt)
+        if head.startswith("INSERT INTO"):
+            return self._insert(stmt)
+        if head.startswith("SELECT"):
+            return self._pull_query(stmt)
+        if head.startswith("SHOW FUNCTIONS"):
+            return sorted(_AGG_FUNCS) + ["COUNT", "SUM", "MIN", "MAX", "AVG"]
+        raise KsqlParseError(f"unsupported statement: {stmt[:60]!r}")
+
+    # -- CREATE STREAM -------------------------------------------------------
+
+    def _create_stream(self, stmt: str) -> None:
+        m = re.match(
+            r"CREATE\s+STREAM\s+(\w+)\s*\((.*?)\)\s*WITH\s*\((.*?)\)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse CREATE STREAM: {stmt[:80]!r}")
+        name, cols, with_clause = m.group(1).lower(), m.group(2), m.group(3)
+        opts = _parse_with(with_clause)
+        if str(opts.get("value_format", "json")).lower() != "json":
+            raise KsqlParseError("only value_format='json' is supported "
+                                 "(the reference uses json exclusively)")
+        fields = []
+        for part in cols.split(","):
+            toks = part.strip().split()
+            if len(toks) != 2:
+                raise KsqlParseError(f"bad column declaration {part!r}")
+            cname, ctype = toks[0].lower(), toks[1].upper()
+            if ctype not in _TYPES:
+                raise KsqlParseError(f"unsupported type {ctype}")
+            fields.append(StructField(cname, _TYPES[ctype]))
+        ts_col = opts.get("timestamp")
+        schema_fields = list(fields)
+        if ts_col is None:
+            # ksqlDB semantics: every record carries ROWTIME (the Kafka
+            # record timestamp); our inserts stamp it at append time
+            schema_fields.append(StructField("rowtime", TimestampType()))
+            ts_col = "rowtime"
+        path = os.path.join(self.workdir, "streams", name)
+        os.makedirs(path, exist_ok=True)
+        self.streams[name] = StreamSpec(name, StructType(schema_fields), path, ts_col)
+
+    # -- INSERT INTO ---------------------------------------------------------
+
+    def _insert(self, stmt: str) -> None:
+        m = re.match(
+            r"INSERT\s+INTO\s+(\w+)\s*\((.*?)\)\s*VALUES\s*\((.*)\)\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse INSERT: {stmt[:80]!r}")
+        name = m.group(1).lower()
+        spec = self.streams.get(name)
+        if spec is None:
+            raise KsqlParseError(f"unknown stream {name!r}")
+        cols = [c.strip().lower() for c in m.group(2).split(",")]
+        vals = [self._literal(v) for v in self._split_csv(m.group(3))]
+        if len(cols) != len(vals):
+            raise KsqlParseError("INSERT column/value arity mismatch")
+        row = dict(zip(cols, vals))
+        if spec.ts_col == "rowtime" and "rowtime" not in row:
+            import datetime
+
+            row["rowtime"] = datetime.datetime.now(
+                datetime.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        # value_format='json': one JSON document per record, decoded on
+        # read against the declared schema — NaN is not valid JSON, so it
+        # rides as null exactly like ksqlDB's wire format
+        fname = os.path.join(spec.path, f"{uuid.uuid4().hex}.json")
+        with open(fname, "w") as f:
+            f.write(json.dumps(
+                {k: (None if isinstance(v, float) and math.isnan(v) else v)
+                 for k, v in row.items()}) + "\n")
+
+    @staticmethod
+    def _split_csv(s: str) -> list[str]:
+        # comma split that respects quotes AND parens — select-list items
+        # like STDDEV_WEIGHTED(val, weight) AS stddev carry inner commas
+        out, buf, in_str, depth = [], [], False, 0
+        for ch in s:
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ch == "(":
+                depth += 1
+            elif not in_str and ch == ")":
+                depth -= 1
+            if ch == "," and not in_str and depth == 0:
+                out.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        out.append("".join(buf))
+        return out
+
+    @staticmethod
+    def _literal(tok: str) -> Any:
+        t = tok.strip()
+        if t.startswith("'") and t.endswith("'"):
+            return t[1:-1]
+        if t.upper() in ("TRUE", "FALSE"):
+            return t.upper() == "TRUE"
+        if t.upper() == "NULL":
+            return None
+        if re.fullmatch(r"-?\d+", t):
+            return int(t)
+        return float(t)
+
+    # -- CREATE TABLE AS -----------------------------------------------------
+
+    def _create_table(self, stmt: str) -> None:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\s+.*)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse CREATE TABLE: {stmt[:80]!r}")
+        name = m.group(1).lower()
+        with_opts = _parse_with(m.group(2) or "")
+        sel = m.group(3)
+        q = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
+            r"(?:WINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\((.*?)\)\s*)?"
+            r"GROUP\s+BY\s+(.*?)\s*(?:EMIT\s+CHANGES)?\s*$",
+            sel, re.IGNORECASE | re.DOTALL,
+        )
+        if not q:
+            raise KsqlParseError(f"cannot parse CTAS SELECT: {sel[:80]!r}")
+        select_list = self._split_csv(q.group(1))
+        source = q.group(2).lower()
+        if source not in self.streams:
+            raise KsqlParseError(f"unknown stream {source!r}")
+        window = None
+        if q.group(3):
+            window = self._parse_window(q.group(3).upper(), q.group(4))
+        group_by = [g.strip() for g in self._split_csv(q.group(5))]
+        sink = ExactlyOnceParquetSink(
+            os.path.join(self.workdir, "tables", name),
+            key_cols=self._key_cols(select_list, group_by, window),
+        )
+        self.tables[name] = TableSpec(
+            name=name, source=source, select=select_list, group_by=group_by,
+            window=window, sink=sink,
+            checkpoint=os.path.join(self.workdir, "ckpt", name),
+            with_opts=with_opts,
+        )
+
+    @staticmethod
+    def _parse_window(kind: str, args: str) -> dict:
+        if kind == "TUMBLING":
+            m = re.match(r"\s*SIZE\s+(\d+)\s+(\w+)\s*$", args, re.IGNORECASE)
+            if not m:
+                raise KsqlParseError(f"bad TUMBLING args {args!r}")
+            return {"kind": "tumbling", "size": _duration(m.group(1), m.group(2))}
+        if kind == "HOPPING":
+            m = re.match(
+                r"\s*SIZE\s+(\d+)\s+(\w+)\s*,\s*ADVANCE\s+BY\s+(\d+)\s+(\w+)\s*$",
+                args, re.IGNORECASE,
+            )
+            if not m:
+                raise KsqlParseError(f"bad HOPPING args {args!r}")
+            return {"kind": "hopping",
+                    "size": _duration(m.group(1), m.group(2)),
+                    "advance": _duration(m.group(3), m.group(4))}
+        m = re.match(r"\s*(\d+)\s+(\w+)\s*$", args, re.IGNORECASE)
+        if not m:
+            raise KsqlParseError(f"bad SESSION args {args!r}")
+        return {"kind": "session", "gap": _duration(m.group(1), m.group(2))}
+
+    def _key_cols(self, select_list, group_by, window) -> list[str]:
+        keys = []
+        if window is not None:
+            keys.append("window_start")
+        for item in select_list:
+            alias = self._alias_of(item)
+            expr = self._expr_of(item).strip()
+            if self._is_group_key(expr, group_by) or expr.upper() == "WINDOWSTART":
+                if alias not in keys:
+                    keys.append(alias)
+        return keys or ["id"]
+
+    @staticmethod
+    def _alias_of(item: str) -> str:
+        m = re.match(r"(.*)\s+AS\s+(\w+)\s*$", item.strip(), re.IGNORECASE | re.DOTALL)
+        return m.group(2).lower() if m else item.strip().lower()
+
+    @staticmethod
+    def _expr_of(item: str) -> str:
+        m = re.match(r"(.*)\s+AS\s+(\w+)\s*$", item.strip(), re.IGNORECASE | re.DOTALL)
+        return (m.group(1) if m else item).strip()
+
+    @staticmethod
+    def _is_group_key(expr: str, group_by: list[str]) -> bool:
+        return any(expr.strip().lower() == g.strip().lower() for g in group_by)
+
+    # -- query building ------------------------------------------------------
+
+    def _stream_df(self, spec: StreamSpec, streaming: bool) -> DataFrame:
+        reader = self.spark.readStream if streaming else self.spark.read
+        # the Kafka-parity decode chain: raw bytes -> string -> from_json
+        raw = reader.format("text").load(spec.path)
+        return (
+            raw.select(F.from_json(F.col("value").cast("string"),
+                                   spec.schema).alias("r"))
+            .select("r.*")
+        )
+
+    def _build_agg(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        stream_spec = self.streams[spec.source]
+        ts = stream_spec.ts_col
+        group_cols: list[Column] = []
+        key_aliases: list[tuple[str, Column]] = []
+        window_col = None
+        if spec.window is not None:
+            w = spec.window
+            if w["kind"] == "tumbling":
+                window_col = F.window(F.col(ts), w["size"])
+            elif w["kind"] == "hopping":
+                window_col = F.window(F.col(ts), w["size"], w["advance"])
+            else:
+                window_col = F.session_window(F.col(ts), w["gap"])
+            group_cols.append(window_col.alias("window"))
+        for g in spec.group_by:
+            group_cols.append(self._scalar_expr(g))
+
+        aggs: list[Column] = []
+        selects: list[Column] = []
+        for item in spec.select:
+            alias = self._alias_of(item)
+            expr = self._expr_of(item)
+            if expr.upper() == "WINDOWSTART":
+                selects.append(F.col("window.start").alias(alias))
+            elif expr.upper() == "WINDOWEND":
+                selects.append(F.col("window.end").alias(alias))
+            elif self._is_group_key(expr, spec.group_by):
+                selects.append(self._scalar_expr(expr).alias(alias))
+            else:
+                aggs.append(self._agg_expr(expr).alias(alias))
+                selects.append(F.col(alias))
+        agg = df.groupBy(*group_cols).agg(*aggs) if aggs else df.groupBy(*group_cols).count()
+        if spec.window is not None and not any(
+            self._alias_of(i) == "window_start" for i in spec.select
+        ):
+            selects.insert(0, F.col("window.start").alias("window_start"))
+        return agg.select(*selects)
+
+    def _scalar_expr(self, expr: str) -> Column:
+        e = expr.strip()
+        if e.startswith("'") and e.endswith("'"):
+            return F.lit(e[1:-1])
+        if re.fullmatch(r"\w+", e):
+            return F.col(e.lower())
+        raise KsqlParseError(f"unsupported scalar expression {e!r}")
+
+    def _agg_expr(self, expr: str) -> Column:
+        m = re.match(r"(\w+)\s*\((.*)\)\s*$", expr.strip(), re.DOTALL)
+        if not m:
+            raise KsqlParseError(f"unsupported aggregate expression {expr!r}")
+        fname = m.group(1).upper()
+        raw_args = [a.strip() for a in self._split_csv(m.group(2))] if m.group(2).strip() else []
+        if fname in _AGG_FUNCS:
+            return _AGG_FUNCS[fname](raw_args)
+        simple = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
+                  "MAX": F.max, "AVG": F.avg}
+        if fname in simple:
+            arg = raw_args[0] if raw_args else "*"
+            return simple[fname](F.lit(1) if arg == "*" else F.col(arg.lower()))
+        raise KsqlParseError(f"unknown function {fname}")
+
+    # -- materialization / pull queries --------------------------------------
+
+    def refresh(self, table: str) -> None:
+        """Drain currently-available stream records into the materialized
+        table (availableNow trigger on the shared checkpoint — the bounded
+        analogue of ksqlDB's continuous EMIT CHANGES query; each call
+        resumes incrementally, reprocessing nothing)."""
+        spec = self.tables[table]
+        if self._needs_batch_materialization(spec):
+            # Session windows grouped ONLY by literals constant-fold to a
+            # "global session aggregation", which Structured Streaming
+            # rejects outright. Recompute the full aggregate from the
+            # stream directory as a batch and overwrite the materialized
+            # table — correct for any input (sessions that merge or extend
+            # across refreshes replace their old rows wholesale).
+            df = self._build_agg(
+                spec, self._stream_df(self.streams[spec.source], streaming=False)
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(spec.sink.path, "batch_full")
+            )
+            return
+        stream = self._stream_df(self.streams[spec.source], streaming=True)
+        # session windows can merge previously-emitted windows, so Spark
+        # forbids update mode for them; complete mode re-emits the whole
+        # (small, windows x keys) aggregate each batch and the sink's
+        # latest-per-key read keeps pull queries consistent
+        mode = ("complete" if spec.window and spec.window["kind"] == "session"
+                else "update")
+        q = run_streaming_stats(
+            stream, spec.sink, spec.checkpoint,
+            lambda df: self._build_agg(spec, df),
+            output_mode=mode, query_name=f"ksql_{table}",
+        )
+        q.awaitTermination(300)
+
+    def _needs_batch_materialization(self, spec: TableSpec) -> bool:
+        all_literal_keys = all(
+            g.strip().startswith("'") for g in spec.group_by
+        )
+        return (spec.window is not None
+                and spec.window["kind"] == "session"
+                and all_literal_keys)
+
+    def _read_table(self, spec: TableSpec) -> DataFrame:
+        if self._needs_batch_materialization(spec):
+            return self.spark.read.parquet(
+                os.path.join(spec.sink.path, "batch_full")
+            )
+        return spec.sink.read_current(self.spark)
+
+    def _pull_query(self, stmt: str) -> list[dict]:
+        m = re.match(
+            r"SELECT\s+\*\s+FROM\s+(\w+)\s*"
+            r"(?:WHERE\s+(\w+)\s*=\s*(.+?))?\s*$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse pull query: {stmt[:80]!r}")
+        name = m.group(1).lower()
+        spec = self.tables.get(name)
+        if spec is None:
+            raise KsqlParseError(f"unknown table {name!r}")
+        self.refresh(name)
+        df = self._read_table(spec)
+        if m.group(2):
+            df = df.filter(F.col(m.group(2).lower()) == F.lit(self._literal(m.group(3))))
+        rows = []
+        for r in df.collect():
+            d = r.asDict()
+            # JSON wire convention: NaN serializes as null
+            rows.append({k: (None if isinstance(v, float) and math.isnan(v) else v)
+                         for k, v in d.items()})
+        return rows
+
+
+def _bool_arg(raw_args: list[str], idx: int) -> bool:
+    return len(raw_args) > idx and raw_args[idx].upper() == "TRUE"
+
+
+_AGG_FUNCS = {
+    # reference names and init-arg dispatch (UdafMetadata scan surface)
+    "SKEWNESS": lambda a: SA.skewness(a[0].lower(), sample=_bool_arg(a, 1)),
+    "KURTOSIS": lambda a: SA.kurtosis(a[0].lower(), sample=_bool_arg(a, 1)),
+    "STDDEV_WEIGHTED": lambda a: SA.stddev_weighted(a[0].lower(), a[1].lower()),
+    "SKEWNESS_WEIGHTED": lambda a: SA.skewness_weighted(a[0].lower(), a[1].lower()),
+    "KURTOSIS_WEIGHTED": lambda a: SA.kurtosis_weighted(a[0].lower(), a[1].lower()),
+}

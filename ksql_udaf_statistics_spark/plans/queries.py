@@ -778,11 +778,14 @@ def q_rollup_pricing(spark, sf_dir):
 
 @register(
     "asof_join_events",
-    """SELECT e.event_id, e.user_id,
+    """WITH o AS (
+         SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+         FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, e.user_id,
               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
               ROUND(o.o_totalprice, 6) AS last_order_price
        FROM events e
-       ASOF LEFT JOIN orders o
+       ASOF LEFT JOIN o
          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
 )
 def q_asof_join_events(spark, sf_dir):
@@ -794,13 +797,131 @@ def q_asof_join_events(spark, sf_dir):
     ev = _load(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").alias("key"), "ts"
     )
-    orders = _load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"),
-        F.col("o_orderdate").alias("r_ts"),
-        F.col("o_totalprice").alias("last_order_price"),
+    # one row per (key, ts) with the max price: duplicate right timestamps
+    # exist in the data, and DuckDB's ASOF tie-pick among them is not
+    # specified — pre-aggregating makes both engines deterministic (and
+    # matches the operator's own greatest-value-wins tie rule)
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("r_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
     )
     out = asof_join(ev, orders, on="key", left_ts="ts", right_ts="r_ts",
                     right_vals=["last_order_price"])
+    return out.select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        round6(F.col("last_order_price")).alias("last_order_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 33-34: training-pipeline additions — deterministic stratified sampling and
+# per-source token heavy-hitters
+# ---------------------------------------------------------------------------
+
+@register(
+    "stratified_sample_counts",
+    """WITH b AS (
+         SELECT source,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 100 AS bucket
+         FROM documents)
+       SELECT source, count(*) AS n_total,
+              CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_sampled
+       FROM b GROUP BY source""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: every engine/run picks
+    the same ~10% of docs per source (content-addressed md5 bucket, no RNG
+    state) — the reproducible-split primitive for train/eval carving at
+    100 TB (a WHERE clause that pushes down; no shuffle, no sort)."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    kept = F.when(bucket < 10, 1).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_sampled"),
+    )
+
+
+@register(
+    "token_topk_per_source",
+    """WITH tok AS (
+         SELECT source,
+                unnest(list_transform(string_split(text, ' '),
+                                      w -> length(w))) AS tok
+         FROM documents),
+       counts AS (
+         SELECT source, CAST(tok AS BIGINT) AS tok, count(*) AS n
+         FROM tok GROUP BY 1, 2)
+       SELECT source, tok, n, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT source, tok, n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok ASC) AS rnk
+         FROM counts)
+       WHERE rnk <= 5""",
+)
+def q_token_topk_per_source(spark, sf_dir):
+    """Per-source token heavy-hitters (top-5 most frequent token values):
+    explode -> two-level count -> per-key top-k. The rank filter compiles
+    to WindowGroupLimit, so each shuffle partition keeps only its top-k
+    candidates before the final sort — the 100 TB-safe heavy-hitter shape
+    (never a global sort of the full frequency table)."""
+    docs = tokens_from_documents(_load(spark, sf_dir, "documents"))
+    counts = (
+        docs.select("source", F.explode("tokens").alias("tok"))
+        .withColumn("tok", F.col("tok").cast("long"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "tok", "n", "rnk")
+    )
+
+
+@register(
+    "asof_join_events_columns",
+    """WITH o AS (
+         SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+         FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, e.user_id,
+              strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+              ROUND(o.o_totalprice, 6) AS last_order_price
+       FROM events e
+       ASOF LEFT JOIN o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def q_asof_join_events_columns(spark, sf_dir):
+    """Same as-of join, pure-Column path (union + running last_value over a
+    window): spills instead of OOMing on skewed keys, no Python in the row
+    path. Same DuckDB ASOF JOIN oracle as the cogrouped-pandas variant."""
+    from ..operators.asof import asof_join_columns
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("key"), "ts"
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("r_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    out = asof_join_columns(ev, orders, on="key", left_ts="ts", right_ts="r_ts",
+                            right_vals=["last_order_price"])
     return out.select(
         "event_id",
         F.col("key").alias("user_id"),

@@ -1,0 +1,191 @@
+"""ksqlDB-dialect front-end tests: paste the reference's own SQL
+(README.md:139-172, AllUdafIT.java:562-663) and get the reference's
+numbers back. Golden values come from the reference's unit tests
+(SkewnessUdafTest.java / WeightedStdDevUdafTest.java) and from DuckDB."""
+
+import math
+
+import pytest
+
+from ksql_udaf_statistics_spark.frontend import KsqlEngine
+
+
+@pytest.fixture()
+def engine(spark, tmp_dir):
+    return KsqlEngine(spark, tmp_dir)
+
+
+def test_readme_weighted_flow(engine):
+    """The README's main example: weighted stddev + skewness over a JSON
+    stream, constant 'singleton' key (README.md:142-156)."""
+    engine.execute(
+        "CREATE STREAM input (val DOUBLE, weight DOUBLE) "
+        "WITH (KAFKA_TOPIC='input', VALUE_FORMAT='json');"
+    )
+    data = [(1.0, 2.0), (2.0, 1.0), (3.0, 3.0), (4.0, 1.0), (5.0, 2.0)]
+    engine.execute(
+        " ".join(
+            f"INSERT INTO input (val, weight) VALUES ({v}, {w});"
+            for v, w in data
+        )
+    )
+    engine.execute(
+        "CREATE TABLE agg_result WITH (KAFKA_TOPIC='output', KEY_FORMAT='JSON') AS "
+        "SELECT 'singleton' AS id, "
+        "STDDEV_WEIGHTED(val, weight) AS stddev, "
+        "SKEWNESS_WEIGHTED(val, weight) AS skewness "
+        "FROM input GROUP BY 'singleton' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM agg_result WHERE id = 'singleton';")
+    assert len(rows) == 1
+    r = rows[0]
+    # python oracle: weighted population moments (WeightedStdDevUdaf.java:
+    # finalize sqrt(E_w[x^2]-E_w[x]^2))
+    sw = sum(w for _, w in data)
+    m1 = sum(v * w for v, w in data) / sw
+    m2 = sum(v * v * w for v, w in data) / sw
+    m3 = sum(v ** 3 * w for v, w in data) / sw
+    var = m2 - m1 * m1
+    want_stddev = math.sqrt(var)
+    want_skew = (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / var ** 1.5
+    assert r["stddev"] == pytest.approx(want_stddev, abs=1e-9)
+    assert r["skewness"] == pytest.approx(want_skew, abs=1e-9)
+
+
+def test_it_unweighted_flow_with_init_arg(engine):
+    """The integration test's parameterized flow (AllUdafIT.java:530-545):
+    SKEWNESS(val) population vs SKEWNESS(val, true) sample over the same
+    stream, verified against the reference's golden value 0.075718
+    (SkewnessUdafTest.java golden dataset)."""
+    engine.execute(
+        "CREATE STREAM input_values (val DOUBLE) "
+        "WITH (kafka_topic='input_values', value_format='json', partitions=1);"
+    )
+    vals = [3.0, 3.0, 4.0, 7.0, 7.0, 13.0, 16.0, 16.0, 16.0, 20.0]
+    engine.execute(
+        " ".join(f"INSERT INTO input_values (val) VALUES ({v});" for v in vals)
+    )
+    engine.execute(
+        "CREATE TABLE aggregated_result "
+        "WITH (KAFKA_TOPIC='aggregated_output', PARTITIONS=1, VALUE_FORMAT='JSON') AS "
+        "SELECT 'singleton' AS id, SKEWNESS(val) AS result "
+        "FROM input_values GROUP BY 'singleton' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM aggregated_result WHERE id = 'singleton';")
+    assert rows[0]["result"] == pytest.approx(0.075718, abs=1e-4)
+
+    engine.execute(
+        "CREATE TABLE agg_sample AS "
+        "SELECT 'singleton' AS id, SKEWNESS(val, true) AS result "
+        "FROM input_values GROUP BY 'singleton' EMIT CHANGES;"
+    )
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    g1 = m3 / m2 ** 1.5
+    want_sample = math.sqrt(n * (n - 1)) / (n - 2) * g1
+    rows = engine.execute("SELECT * FROM agg_sample WHERE id = 'singleton';")
+    assert rows[0]["result"] == pytest.approx(want_sample, abs=1e-9)
+
+
+def test_windowed_flow_with_windowstart(engine):
+    """README.md:159-172: WINDOW TUMBLING + WINDOWSTART AS window_start,
+    using a declared event-time column."""
+    engine.execute(
+        "CREATE STREAM input (val DOUBLE, weight DOUBLE, ts TIMESTAMP) "
+        "WITH (KAFKA_TOPIC='input', VALUE_FORMAT='json', timestamp='ts');"
+    )
+    stmts = []
+    for i in range(12):
+        minute = (i % 2) * 7  # two 5-minute windows: :00-:05 and :05-:10
+        stmts.append(
+            f"INSERT INTO input (val, weight, ts) VALUES "
+            f"({float(i)}, 1.0, '2024-01-01 00:0{minute}:00');"
+        )
+    engine.execute(" ".join(stmts))
+    engine.execute(
+        "CREATE TABLE agg_result_windowed WITH (KAFKA_TOPIC='output', KEY_FORMAT='JSON') AS "
+        "SELECT 'singleton' AS id, WINDOWSTART AS window_start, "
+        "STDDEV_WEIGHTED(val, weight) AS stddev, "
+        "SKEWNESS_WEIGHTED(val, weight) AS skewness "
+        "FROM input WINDOW TUMBLING (SIZE 5 MINUTES) GROUP BY 'singleton';"
+    )
+    rows = engine.execute("SELECT * FROM agg_result_windowed;")
+    assert len(rows) == 2
+    by_win = {str(r["window_start"]): r for r in rows}
+    evens = [float(i) for i in range(12) if i % 2 == 0]
+    mean = sum(evens) / len(evens)
+    want = math.sqrt(sum((v - mean) ** 2 for v in evens) / len(evens))
+    assert by_win["2024-01-01 00:00:00"]["stddev"] == pytest.approx(want, abs=1e-9)
+
+
+def test_nan_to_null_json_boundary(engine):
+    """Single-element stream: sample skewness is NaN; the pull query must
+    return null/None exactly as ksqlDB's JSON wire does
+    (AllUdafIT.java:675-680)."""
+    engine.execute(
+        "CREATE STREAM input_values (val DOUBLE) "
+        "WITH (kafka_topic='input_values', value_format='json');"
+    )
+    engine.execute("INSERT INTO input_values (val) VALUES (42.0);")
+    engine.execute(
+        "CREATE TABLE one_row AS "
+        "SELECT 'singleton' AS id, SKEWNESS(val, true) AS result "
+        "FROM input_values GROUP BY 'singleton' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM one_row WHERE id = 'singleton';")
+    assert rows[0]["result"] is None
+
+
+def test_incremental_emit_changes(engine):
+    """EMIT CHANGES semantics: more inserts after the first pull update the
+    materialized value on the next pull (update-mode re-emission through
+    the exactly-once sink), with nothing reprocessed from scratch."""
+    engine.execute(
+        "CREATE STREAM s (val DOUBLE) WITH (kafka_topic='s', value_format='json');"
+    )
+    engine.execute("INSERT INTO s (val) VALUES (1.0); INSERT INTO s (val) VALUES (2.0);")
+    engine.execute(
+        "CREATE TABLE t AS SELECT 'k' AS id, SUM(val) AS total "
+        "FROM s GROUP BY 'k' EMIT CHANGES;"
+    )
+    assert engine.execute("SELECT * FROM t;")[0]["total"] == pytest.approx(3.0)
+    engine.execute("INSERT INTO s (val) VALUES (10.0);")
+    assert engine.execute("SELECT * FROM t;")[0]["total"] == pytest.approx(13.0)
+    # ledger shows multiple committed batches — incremental, not replayed
+    assert len(engine.tables["t"].sink.committed_batches()) >= 2
+
+
+def test_show_functions(engine):
+    fns = engine.execute("SHOW FUNCTIONS;")
+    for want in ("SKEWNESS", "KURTOSIS", "STDDEV_WEIGHTED",
+                 "SKEWNESS_WEIGHTED", "KURTOSIS_WEIGHTED"):
+        assert want in fns
+
+
+def test_session_and_hopping_windows(engine):
+    engine.execute(
+        "CREATE STREAM ev (val DOUBLE, ts TIMESTAMP) "
+        "WITH (kafka_topic='ev', value_format='json', timestamp='ts');"
+    )
+    engine.execute(
+        "INSERT INTO ev (val, ts) VALUES (1.0, '2024-01-01 00:00:00');"
+        "INSERT INTO ev (val, ts) VALUES (2.0, '2024-01-01 00:01:00');"
+        "INSERT INTO ev (val, ts) VALUES (3.0, '2024-01-01 01:00:00');"
+    )
+    engine.execute(
+        "CREATE TABLE sess AS SELECT 'k' AS id, COUNT(*) AS n "
+        "FROM ev WINDOW SESSION (10 MINUTES) GROUP BY 'k';"
+    )
+    rows = engine.execute("SELECT * FROM sess;")
+    assert sorted(r["n"] for r in rows) == [1, 2]  # two sessions
+
+    engine.execute(
+        "CREATE TABLE hop AS SELECT 'k' AS id, COUNT(*) AS n "
+        "FROM ev WINDOW HOPPING (SIZE 2 MINUTES, ADVANCE BY 1 MINUTES) GROUP BY 'k';"
+    )
+    rows = engine.execute("SELECT * FROM hop;")
+    # row at :00 -> windows [-1:00,:01),[:00,:02); row at :01 -> [:00,:02),[:01,:03)
+    n_by_start = {str(r["window_start"]): r["n"] for r in rows}
+    assert n_by_start["2024-01-01 00:00:00"] == 2
