@@ -67,6 +67,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "stratified_sample_counts",
+    "token_topk_per_source",
+    "dedup_clusters",
+    "asof_join_events_columns",
 ]
 
 

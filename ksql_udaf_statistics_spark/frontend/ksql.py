@@ -172,7 +172,45 @@ class KsqlEngine:
             return self._pull_query(stmt)
         if head.startswith("SHOW FUNCTIONS"):
             return sorted(_AGG_FUNCS) + ["COUNT", "SUM", "MIN", "MAX", "AVG"]
+        if head.startswith("DROP STREAM") or head.startswith("DROP TABLE"):
+            return self._drop(stmt)
+        if head.startswith("SHOW STREAMS"):
+            return sorted(self.streams)
+        if head.startswith("SHOW TABLES"):
+            return sorted(self.tables)
         raise KsqlParseError(f"unsupported statement: {stmt[:60]!r}")
+
+    def _drop(self, stmt: str) -> None:
+        # DROP STREAM|TABLE [IF EXISTS] name [DELETE TOPIC]
+        # (AllUdafIT.java:466-497 drops between parameterized cases)
+        m = re.match(
+            r"DROP\s+(STREAM|TABLE)\s+(?:IF\s+EXISTS\s+)?(\w+)"
+            r"(\s+DELETE\s+TOPIC)?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse DROP: {stmt[:80]!r}")
+        kind, name = m.group(1).upper(), m.group(2).lower()
+        delete_data = m.group(3) is not None
+        import shutil
+
+        if kind == "STREAM":
+            spec = self.streams.pop(name, None)
+            if spec is None:
+                if "IF EXISTS" in stmt.upper():
+                    return
+                raise KsqlParseError(f"unknown stream {name!r}")
+            if delete_data:
+                shutil.rmtree(spec.path, ignore_errors=True)
+        else:
+            tspec = self.tables.pop(name, None)
+            if tspec is None:
+                if "IF EXISTS" in stmt.upper():
+                    return
+                raise KsqlParseError(f"unknown table {name!r}")
+            if delete_data:
+                shutil.rmtree(tspec.sink.path, ignore_errors=True)
+                shutil.rmtree(tspec.checkpoint, ignore_errors=True)
 
     # -- CREATE STREAM -------------------------------------------------------
 

@@ -928,3 +928,49 @@ def q_asof_join_events_columns(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         round6(F.col("last_order_price")).alias("last_order_price"),
     )
+
+
+_JACCARD_PAIRS_SQL = """
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) * 1.0
+         / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))
+         >= 0.05
+"""
+
+
+@register(
+    "dedup_clusters",
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  )) AS shingles,
+                  len(list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  ))) AS n_shingles
+           FROM documents)),
+       pairs AS ("""
+    + _JACCARD_PAIRS_SQL
+    + """),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(u, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+       SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters via min-label connected
+    components (operators/dedup.py::connected_components); the oracle is a
+    DuckDB recursive CTE computing min-reachable-id per node."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    pairs = D.jaccard_pairs(docs, n=3, threshold=0.05)
+    return D.connected_components(pairs)

@@ -189,3 +189,34 @@ def test_session_and_hopping_windows(engine):
     # row at :00 -> windows [-1:00,:01),[:00,:02); row at :01 -> [:00,:02),[:01,:03)
     n_by_start = {str(r["window_start"]): r["n"] for r in rows}
     assert n_by_start["2024-01-01 00:00:00"] == 2
+
+
+def test_drop_and_show(engine):
+    """The IT drops stream+table between parameterized cases
+    (AllUdafIT.java:466-497): DROP TABLE ... DELETE TOPIC then
+    DROP STREAM ... and recreate under the same names."""
+    engine.execute(
+        "CREATE STREAM s (val DOUBLE) WITH (kafka_topic='s', value_format='json');"
+    )
+    engine.execute("INSERT INTO s (val) VALUES (1.0);")
+    engine.execute(
+        "CREATE TABLE t AS SELECT 'k' AS id, SUM(val) AS total "
+        "FROM s GROUP BY 'k' EMIT CHANGES;"
+    )
+    assert engine.execute("SHOW STREAMS;") == ["s"]
+    assert engine.execute("SHOW TABLES;") == ["t"]
+    engine.execute("DROP TABLE IF EXISTS t DELETE TOPIC;")
+    engine.execute("DROP STREAM IF EXISTS s DELETE TOPIC;")
+    assert engine.execute("SHOW STREAMS;") == []
+    assert engine.execute("SHOW TABLES;") == []
+    engine.execute("DROP STREAM IF EXISTS never_existed;")  # no error
+    # recreate under the same name starts empty (topic deleted)
+    engine.execute(
+        "CREATE STREAM s (val DOUBLE) WITH (kafka_topic='s', value_format='json');"
+    )
+    engine.execute("INSERT INTO s (val) VALUES (5.0);")
+    engine.execute(
+        "CREATE TABLE t AS SELECT 'k' AS id, SUM(val) AS total "
+        "FROM s GROUP BY 'k' EMIT CHANGES;"
+    )
+    assert engine.execute("SELECT * FROM t;")[0]["total"] == pytest.approx(5.0)

@@ -338,3 +338,19 @@ def test_embedding_near_dups_exact_guard_fires(spark, emb):
     assert S.embedding_near_dups_exact(
         emb.limit(20), threshold=0.999, max_rows=100
     ).count() == 0
+
+
+def test_connected_components(spark):
+    """Min-label propagation resolves pair graphs into clusters: a chain,
+    a triangle, an isolated pair — cluster_id = min reachable id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                   # isolated pair
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
