@@ -974,3 +974,29 @@ def q_dedup_clusters(spark, sf_dir):
     )
     pairs = D.jaccard_pairs(docs, n=3, threshold=0.05)
     return D.connected_components(pairs)
+
+
+@register(
+    "embedding_centroids",
+    """WITH e AS (
+         SELECT label,
+                generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings)
+       SELECT label, CAST(pos AS BIGINT) AS pos,
+              ROUND(avg(v), 6) AS mean_v
+       FROM e GROUP BY label, pos""",
+)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids as (label, pos, mean_v) rows — the
+    mean-pool / coarse-quantizer-training primitive (one posexplode +
+    hash aggregation; at 100 TB this is a single shuffle on (label, pos)
+    with map-side partial sums, never a collect of vectors)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("v", F.col("v").cast("double"))
+        .groupBy("label", "pos")
+        .agg(round6(F.avg("v")).alias("mean_v"))
+    )

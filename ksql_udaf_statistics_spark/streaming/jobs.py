@@ -246,3 +246,23 @@ def grouped_stats_apply_in_pandas(
         return pd.DataFrame([row])
 
     return df.groupBy(*keys).applyInPandas(compute, schema)
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state: keep the first
+    occurrence of each key, dropping re-deliveries that arrive within the
+    watermark horizon; state for keys older than the watermark is evicted
+    (``dropDuplicatesWithinWatermark``), so the operator runs forever on
+    an unbounded stream — the streaming twin of operators.dedup.dedup_exact
+    (which needs the full key set). Use content hashes as keys
+    (md5(text)) for document streams."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(key_cols))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

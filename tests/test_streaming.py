@@ -494,3 +494,53 @@ def test_merge_upsert_sink_streaming_end_to_end(spark, token_df, tmp_dir):
     got = sink.read_current(spark).collect()
     want = transform(spark.read.parquet(src_dir)).collect()
     assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
+
+
+def test_dedup_stream_within_watermark(spark, tmp_dir):
+    """Streaming exact dedup: re-delivered keys within the watermark are
+    dropped exactly once, across micro-batch boundaries, with bounded
+    state (dropDuplicatesWithinWatermark)."""
+    from ksql_udaf_statistics_spark.streaming.jobs import dedup_stream
+
+    import glob as _glob
+    import shutil as _shutil
+
+    src = os.path.join(tmp_dir, "src")
+    os.makedirs(src)
+    rows1 = [("a", "2024-01-01 00:00:00", 1), ("b", "2024-01-01 00:01:00", 2),
+             ("a", "2024-01-01 00:02:00", 3)]          # dup within batch
+    rows2 = [("b", "2024-01-01 00:03:00", 4),           # dup across batches
+             ("c", "2024-01-01 00:04:00", 5)]
+    schema = "k string, ts string, seq int"
+    for i, rows in enumerate([rows1, rows2]):
+        staged = os.path.join(tmp_dir, f"stage{i}")
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(staged)
+        # the file stream source wants flat files, not nested datasets
+        part = _glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        _shutil.copy(part, os.path.join(src, f"{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = os.path.join(tmp_dir, "out")
+    q = (
+        dedup_stream(stream, ["k"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmp_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a", "b", "c"}
+    n = spark.read.parquet(out_dir).count()
+    assert n == 3  # exactly one row per key survived
+
+    # batch twin degrades to plain dropDuplicates
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    assert dedup_stream(batch, ["k"]).count() == 3
