@@ -71,6 +71,9 @@ HEADLINE = [
     "token_topk_per_source",
     "dedup_clusters",
     "asof_join_events_columns",
+    "embedding_near_dups_lsh_verified",
+    "multimodal_feature_stats",
+    "token_arrow_stats",
 ]
 
 

@@ -101,10 +101,168 @@ class TableSpec:
     sink: ExactlyOnceParquetSink
     checkpoint: str
     with_opts: dict = field(default_factory=dict)
+    where: Optional[str] = None
 
 
 class KsqlParseError(ValueError):
     pass
+
+
+# -- scalar / predicate expression parsing ----------------------------------
+#
+# The reference's own SQL only ever projects bare columns and string
+# literals (AllUdafIT.java:562-663), but the first query a real user writes
+# past the README is `SKEWNESS(val * 2) ... WHERE val > 0` — so the
+# front-end accepts arithmetic over columns/literals and simple boolean
+# predicates, compiled straight to Column expressions (Catalyst folds the
+# constants; nothing here is interpreted per row).
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
+    r"|(?P<str>'[^']*')"
+    r"|(?P<ident>\w+)"
+    r"|(?P<op><>|!=|<=|>=|[-+*/()<>=]))"
+)
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise KsqlParseError(f"cannot tokenize expression at {s[pos:][:30]!r}")
+            break
+        out.append(m.group("num") or m.group("str") or m.group("ident") or m.group("op"))
+        pos = m.end()
+    return out
+
+
+class _ExprParser:
+    """Tiny recursive-descent parser: arithmetic (+ - * / parens) over
+    columns and numeric/string/bool literals; predicates with comparison
+    operators and AND/OR/NOT."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def _peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        t = self._peek()
+        if t is None:
+            raise KsqlParseError("unexpected end of expression")
+        self.i += 1
+        return t
+
+    # arithmetic -------------------------------------------------------------
+
+    def expr(self) -> Column:
+        left = self.term()
+        while self._peek() in ("+", "-"):
+            op = self._next()
+            right = self.term()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def term(self) -> Column:
+        left = self.factor()
+        while self._peek() in ("*", "/"):
+            op = self._next()
+            right = self.factor()
+            left = left * right if op == "*" else left / right
+        return left
+
+    def factor(self) -> Column:
+        t = self._next()
+        if t == "-":
+            return -self.factor()
+        if t == "(":
+            e = self.expr()
+            if self._next() != ")":
+                raise KsqlParseError("expected ')'")
+            return e
+        if t.startswith("'"):
+            return F.lit(t[1:-1])
+        if re.fullmatch(r"\d.*|\.\d.*", t):
+            return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
+        if t.upper() in ("TRUE", "FALSE"):
+            return F.lit(t.upper() == "TRUE")
+        if re.fullmatch(r"\w+", t):
+            return F.col(t.lower())
+        raise KsqlParseError(f"unexpected token {t!r}")
+
+    # predicates --------------------------------------------------------------
+
+    def predicate(self) -> Column:
+        left = self.pred_term()
+        while (self._peek() or "").upper() == "OR":
+            self._next()
+            left = left | self.pred_term()
+        return left
+
+    def pred_term(self) -> Column:
+        left = self.pred_factor()
+        while (self._peek() or "").upper() == "AND":
+            self._next()
+            left = left & self.pred_factor()
+        return left
+
+    def pred_factor(self) -> Column:
+        if (self._peek() or "").upper() == "NOT":
+            self._next()
+            return ~self.pred_factor()
+        if self._peek() == "(":
+            # could be a parenthesized predicate OR arithmetic group: try
+            # the predicate reading first, backtrack to comparison on failure
+            save = self.i
+            try:
+                self._next()
+                p = self.predicate()
+                if self._next() != ")":
+                    raise KsqlParseError("expected ')'")
+                return p
+            except KsqlParseError:
+                self.i = save
+        return self.comparison()
+
+    def comparison(self) -> Column:
+        left = self.expr()
+        op = self._peek()
+        if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            raise KsqlParseError(f"expected comparison operator, got {op!r}")
+        self._next()
+        right = self.expr()
+        return {
+            "=": left == right,
+            "<>": left != right,
+            "!=": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[op]
+
+    def _done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def parse_scalar(text: str) -> Column:
+    p = _ExprParser(text)
+    c = p.expr()
+    if not p._done():
+        raise KsqlParseError(f"trailing tokens in expression {text!r}")
+    return c
+
+
+def parse_predicate(text: str) -> Column:
+    p = _ExprParser(text)
+    c = p.predicate()
+    if not p._done():
+        raise KsqlParseError(f"trailing tokens in predicate {text!r}")
+    return c
 
 
 def _parse_with(clause: str) -> dict:
@@ -326,6 +484,7 @@ class KsqlEngine:
         sel = m.group(3)
         q = re.match(
             r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
+            r"(?:WHERE\s+(.*?)\s*)?"
             r"(?:WINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\((.*?)\)\s*)?"
             r"GROUP\s+BY\s+(.*?)\s*(?:EMIT\s+CHANGES)?\s*$",
             sel, re.IGNORECASE | re.DOTALL,
@@ -336,10 +495,13 @@ class KsqlEngine:
         source = q.group(2).lower()
         if source not in self.streams:
             raise KsqlParseError(f"unknown stream {source!r}")
+        where = q.group(3)
+        if where:
+            parse_predicate(where)  # fail at CREATE time, not first refresh
         window = None
-        if q.group(3):
-            window = self._parse_window(q.group(3).upper(), q.group(4))
-        group_by = [g.strip() for g in self._split_csv(q.group(5))]
+        if q.group(4):
+            window = self._parse_window(q.group(4).upper(), q.group(5))
+        group_by = [g.strip() for g in self._split_csv(q.group(6))]
         sink = ExactlyOnceParquetSink(
             os.path.join(self.workdir, "tables", name),
             key_cols=self._key_cols(select_list, group_by, window),
@@ -348,7 +510,7 @@ class KsqlEngine:
             name=name, source=source, select=select_list, group_by=group_by,
             window=window, sink=sink,
             checkpoint=os.path.join(self.workdir, "ckpt", name),
-            with_opts=with_opts,
+            with_opts=with_opts, where=where,
         )
 
     @staticmethod
@@ -414,6 +576,10 @@ class KsqlEngine:
     def _build_agg(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         stream_spec = self.streams[spec.source]
         ts = stream_spec.ts_col
+        if spec.where:
+            # the stream-side predicate (pushed below the aggregation, so
+            # Catalyst can prune files/rows before any state is touched)
+            df = df.filter(parse_predicate(spec.where))
         group_cols: list[Column] = []
         key_aliases: list[tuple[str, Column]] = []
         window_col = None
@@ -456,7 +622,8 @@ class KsqlEngine:
             return F.lit(e[1:-1])
         if re.fullmatch(r"\w+", e):
             return F.col(e.lower())
-        raise KsqlParseError(f"unsupported scalar expression {e!r}")
+        # arithmetic over columns/literals: val * 2, (a + b) / 2, ...
+        return parse_scalar(e)
 
     def _agg_expr(self, expr: str) -> Column:
         m = re.match(r"(\w+)\s*\((.*)\)\s*$", expr.strip(), re.DOTALL)
@@ -464,13 +631,20 @@ class KsqlEngine:
             raise KsqlParseError(f"unsupported aggregate expression {expr!r}")
         fname = m.group(1).upper()
         raw_args = [a.strip() for a in self._split_csv(m.group(2))] if m.group(2).strip() else []
+        # value args may be arbitrary arithmetic (SKEWNESS(val * 2));
+        # trailing TRUE/FALSE literals are UDAF init-args, not columns
+        cols = [
+            self._scalar_expr(a) for a in raw_args
+            if a.upper() not in ("TRUE", "FALSE") and a != "*"
+        ]
         if fname in _AGG_FUNCS:
-            return _AGG_FUNCS[fname](raw_args)
+            return _AGG_FUNCS[fname](cols, raw_args)
         simple = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
                   "MAX": F.max, "AVG": F.avg}
         if fname in simple:
-            arg = raw_args[0] if raw_args else "*"
-            return simple[fname](F.lit(1) if arg == "*" else F.col(arg.lower()))
+            if not raw_args or raw_args[0] == "*":
+                return simple[fname](F.lit(1))
+            return simple[fname](cols[0])
         raise KsqlParseError(f"unknown function {fname}")
 
     # -- materialization / pull queries --------------------------------------
@@ -522,24 +696,32 @@ class KsqlEngine:
             return self.spark.read.parquet(
                 os.path.join(spec.sink.path, "batch_full")
             )
+        if spec.window and spec.window["kind"] == "session":
+            # complete output mode: every batch re-emits the whole
+            # aggregate — the latest batch IS the table. latest-per-key
+            # across batches would resurrect sessions merged away by a
+            # later batch (r2 ADVICE finding).
+            return spec.sink.read_latest_batch(self.spark)
         return spec.sink.read_current(self.spark)
 
     def _pull_query(self, stmt: str) -> list[dict]:
         m = re.match(
-            r"SELECT\s+\*\s+FROM\s+(\w+)\s*"
-            r"(?:WHERE\s+(\w+)\s*=\s*(.+?))?\s*$",
+            r"SELECT\s+(\*|[\w\s,]+?)\s+FROM\s+(\w+)\s*"
+            r"(?:WHERE\s+(.+?))?\s*$",
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise KsqlParseError(f"cannot parse pull query: {stmt[:80]!r}")
-        name = m.group(1).lower()
+        name = m.group(2).lower()
         spec = self.tables.get(name)
         if spec is None:
             raise KsqlParseError(f"unknown table {name!r}")
         self.refresh(name)
         df = self._read_table(spec)
-        if m.group(2):
-            df = df.filter(F.col(m.group(2).lower()) == F.lit(self._literal(m.group(3))))
+        if m.group(3):
+            df = df.filter(parse_predicate(m.group(3)))
+        if m.group(1).strip() != "*":
+            df = df.select(*[c.strip().lower() for c in m.group(1).split(",")])
         rows = []
         for r in df.collect():
             d = r.asDict()
@@ -554,10 +736,12 @@ def _bool_arg(raw_args: list[str], idx: int) -> bool:
 
 
 _AGG_FUNCS = {
-    # reference names and init-arg dispatch (UdafMetadata scan surface)
-    "SKEWNESS": lambda a: SA.skewness(a[0].lower(), sample=_bool_arg(a, 1)),
-    "KURTOSIS": lambda a: SA.kurtosis(a[0].lower(), sample=_bool_arg(a, 1)),
-    "STDDEV_WEIGHTED": lambda a: SA.stddev_weighted(a[0].lower(), a[1].lower()),
-    "SKEWNESS_WEIGHTED": lambda a: SA.skewness_weighted(a[0].lower(), a[1].lower()),
-    "KURTOSIS_WEIGHTED": lambda a: SA.kurtosis_weighted(a[0].lower(), a[1].lower()),
+    # reference names and init-arg dispatch (UdafMetadata scan surface):
+    # c = parsed Column args (arithmetic allowed), a = raw token strings
+    # (for the literal TRUE/FALSE isSample init-arg)
+    "SKEWNESS": lambda c, a: SA.skewness(c[0], sample=_bool_arg(a, 1)),
+    "KURTOSIS": lambda c, a: SA.kurtosis(c[0], sample=_bool_arg(a, 1)),
+    "STDDEV_WEIGHTED": lambda c, a: SA.stddev_weighted(c[0], c[1]),
+    "SKEWNESS_WEIGHTED": lambda c, a: SA.skewness_weighted(c[0], c[1]),
+    "KURTOSIS_WEIGHTED": lambda c, a: SA.kurtosis_weighted(c[0], c[1]),
 }

@@ -28,12 +28,7 @@ from pyspark.sql.functions import pandas_udf
 from ..stats import moments as M
 
 
-def register_sql_functions(spark: SparkSession) -> list[str]:
-    """Register all statistics as SQL grouped-aggregate functions.
-
-    Returns the registered names (the Python analogue of SHOW FUNCTIONS).
-    """
-
+def _build_udfs() -> dict:
     @pandas_udf("double")
     def skewness_stat(v: pd.Series) -> float:
         return M.finalize_skewness(M.MomentState.zero().update(v.to_numpy()))
@@ -72,7 +67,7 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
             M.WeightedState.zero().update(v.to_numpy(), w.to_numpy())
         )
 
-    fns = {
+    return {
         "skewness_stat": skewness_stat,
         "skewness_sample_stat": skewness_sample_stat,
         "kurtosis_stat": kurtosis_stat,
@@ -81,6 +76,14 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         "skewness_weighted": skewness_weighted,
         "kurtosis_weighted": kurtosis_weighted,
     }
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Register all statistics as SQL grouped-aggregate functions.
+
+    Returns the registered names (the Python analogue of SHOW FUNCTIONS).
+    """
+    fns = _build_udfs()
     for name, fn in fns.items():
         spark.udf.register(name, fn)
     return sorted(fns)
@@ -95,31 +98,42 @@ _BUILTIN_COLLISIONS = {"skewness": "skewness_stat", "kurtosis": "kurtosis_stat"}
 def register_reference_names(spark: SparkSession, force: bool = False) -> list[str]:
     """Register the UDAFs under the reference's exact SQL names.
 
-    ``skewness`` and ``kurtosis`` collide with Spark builtins that Spark's
-    resolver prefers over session UDFs — a ksqlDB user typing the
-    reference names would SILENTLY get Spark's conventions (sample G1 /
-    excess kurtosis) instead of the reference's population RAW forms.
-    This refuses by default with the exact remedy; ``force=True`` registers
-    anyway (the UDF still loses to the builtin at resolution time, so
-    forcing only makes sense on a session where the builtin is blocked)
-    and emits a loud warning.
+    ``skewness`` and ``kurtosis`` collide with Spark builtins of DIFFERENT
+    semantics (builtin = sample G1 / population EXCESS kurtosis; reference
+    = population RAW). A session-registered UDF SHADOWS the builtin in
+    Spark's session function registry (verified on this Spark version by
+    tests/test_sql_registry.py::test_reference_name_registration_guard),
+    so forcing the registration silently changes what ``skewness(x)`` /
+    ``kurtosis(x)`` mean for EVERY query in the session — including code
+    that expected Spark's conventions. This refuses by default with the
+    exact remedy; ``force=True`` registers (giving SQL users the
+    reference's semantics under the reference's names) and emits a loud
+    warning. ``DROP TEMPORARY FUNCTION skewness`` restores the builtin.
     """
     if not force:
         hints = ", ".join(f"{k} -> {v}" for k, v in _BUILTIN_COLLISIONS.items())
         raise ValueError(
-            "Refusing to register UDAFs under reference names that Spark's "
-            "resolver shadows with builtins of DIFFERENT semantics "
+            "Refusing to register UDAFs under reference names that SHADOW "
+            "Spark builtins of DIFFERENT semantics for the whole session "
             f"({hints}). Call register_sql_functions() and use the _stat "
             "names, or pass force=True to accept that SQL 'skewness'/"
-            "'kurtosis' will still resolve to the Spark builtins."
+            "'kurtosis' will switch to the REFERENCE conventions "
+            "(population raw) session-wide."
         )
     import warnings
 
+    registered = register_sql_functions(spark)
+    fns = _build_udfs()
+    for ref_name, stat_name in _BUILTIN_COLLISIONS.items():
+        spark.udf.register(ref_name, fns[stat_name])
+        registered.append(ref_name)
     warnings.warn(
-        "Registered reference-named UDAFs, but Spark resolves builtin "
-        "skewness/kurtosis FIRST: SQL calls to those names use Spark's "
-        "conventions, not the reference's.",
+        "Registered UDAFs under the reference names "
+        f"{sorted(_BUILTIN_COLLISIONS)}; they SHADOW Spark's same-named "
+        "builtin functions in this session — SQL skewness/kurtosis now "
+        "follow the reference's conventions (population RAW), not Spark's "
+        "(sample G1 / excess). DROP TEMPORARY FUNCTION <name> restores "
+        "the builtin.",
         stacklevel=2,
     )
-    registered = register_sql_functions(spark)
-    return registered
+    return sorted(registered)

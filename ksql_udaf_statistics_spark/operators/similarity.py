@@ -1,31 +1,46 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - **brute-force top-k** — the exactness baseline: broadcast the (small)
-  query set against the corpus, cosine via JVM-side ``zip_with`` +
-  ``aggregate`` array algebra, per-query top-k with a window. One scan of
-  the corpus, no shuffle of the big side except the final top-k.
+  query matrix against the corpus, one Arrow-batched numpy matmul per
+  corpus partition, per-partition top-k, then a global window top-k over
+  the tiny candidate union. One scan of the corpus, no pair-row blowup,
+  no shuffle of the big side except the (partitions x queries x k)-row
+  final top-k.
 - **LSH-bucketed top-k** — the scale path: random-hyperplane signatures
   (deterministic, seeded) bucket the corpus; candidates = bucket
   collisions with the query in any band; exact cosine re-rank within
   candidates. Probing cost is bucket-local instead of corpus-wide; recall
   is tunable by (planes, bands).
+- **IVF top-k** — coarse quantizer (deterministic hash-sampled centroids)
+  + probed exact re-rank within the query's n_probe nearest lists.
+
+All scoring is Arrow-batched numpy (one matmul / one vectorized reduction
+per record batch, float64 accumulation) — r2 measured the interpreted
+``F.aggregate``/``zip_with`` higher-order-function cosine at ~200ns per
+element, which at 100x scale dominates the ANN hot path; the Arrow path
+is the same pattern the IVF assigner already used. The pure-Column
+``dot``/``norm``/``cosine`` helpers remain exported for plans that must
+stay Python-free, but no hot path uses them.
 
 Near-duplicate-by-embedding is ``cosine >= threshold`` on either path.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 
 def dot(a, b) -> Column:
-    # accumulate in float64 regardless of the storage type (array<float>):
-    # float32 accumulation loses the 6th decimal and is not reproducible
-    # against double-precision oracles
+    """Pure-Column dot product (interpreted HOF — not for hot paths;
+    accumulates in float64 regardless of the storage type)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -47,6 +62,27 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _stack(series: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow array column batch."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def cosine_arrow(a, b) -> Column:
+    """Arrow-vectorized row-wise cosine of two array columns (float64
+    accumulation): one numpy reduction per record batch, no per-row
+    Python, no interpreted lambdas."""
+
+    def _cos(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        if len(ca) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _stack(ca), _stack(cb)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
+    return F.pandas_udf(_cos, DoubleType())(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,52 +92,107 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
-    ``queries`` must be small (it is broadcast). Self-matches are excluded.
-    Ties are broken by neighbor id for full determinism.
+    ``queries`` must be small (it is collected and broadcast into the
+    Arrow workers as one numpy matrix). Self-matches are excluded. Ties
+    are broken by neighbor id for full determinism; per-partition pruning
+    keeps a row only if it beats < k rows under the same total order
+    (cos_sim desc, id asc), so the global result equals a full sort.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            dot("q_vec", "c_vec").cast("double")
-            / (norm("q_vec") * norm("c_vec")).cast("double"),
-        )
-    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _stack(pdf[vec_col])
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.sqrt(np.einsum("ij,ij->i", M, M))
+            sims = (Q @ M.T) / (qn[:, None] * cn[None, :])
+            oq, on, os_ = [], [], []
+            for qi in range(len(qids)):
+                cand = np.flatnonzero(nids != qids[qi])
+                # lexsort: last key is primary -> (-sim primary, id secondary)
+                order = cand[np.lexsort((nids[cand], -sims[qi, cand]))][:k]
+                oq.append(np.full(len(order), qids[qi], dtype=np.int64))
+                on.append(nids[order])
+                os_.append(sims[qi, order])
+            if oq:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(oq),
+                        "neighbor_id": np.concatenate(on),
+                        "cos_sim": np.concatenate(os_),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score_partition, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
-def hyperplane_signature(
-    vec_col: str, dim: int, planes: int = 16, seed: int = 7
-) -> Column:
-    """Array of ``planes`` sign bits of <v, h_p> where h_p[d] is a
-    deterministic pseudo-random value in [-1, 1) derived from
-    xxhash64(seed, p, d) — reproducible at any parallelism, no stored
-    plane table, all JVM-side."""
-    def plane_dot(p: int) -> Column:
-        terms = F.zip_with(
-            F.col(vec_col),
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, d: x
-            * (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), 2000) / 1000.0 - 1.0
-            ),
-        )
-        return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+def _plane_matrix(dim: int, planes: int, seed: int) -> np.ndarray:
+    """Deterministic (planes, dim) hyperplane matrix in [-1, 1): seeded
+    PCG64 computed once on the driver — reproducible at any parallelism,
+    identical across runs."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.uniform(-1.0, 1.0, size=(planes, dim))
 
-    return F.array(*[F.when(plane_dot(p) >= 0, 1).otherwise(0) for p in range(planes)])
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int,
+    bands: int,
+    seed: int,
+    role: str,
+) -> DataFrame:
+    """(role_id, role_vec, band, bucket) rows: one Arrow matmul per batch
+    computes all ``planes`` sign bits, packed per band into an integer
+    bucket — the LSH blocking key. No per-plane interpreted dot products
+    (r2 hot-path fix), no stored plane table."""
+    assert planes % bands == 0
+    rows = planes // bands
+    H = _plane_matrix(dim, planes, seed)
+    schema = f"{role}_id long, {role}_vec array<float>, band int, bucket long"
+    weights = (1 << np.arange(rows, dtype=np.int64))[None, None, :]
+
+    def sign_and_band(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _stack(pdf[vec_col])
+            bits = (M @ H.T) >= 0  # (n, planes)
+            buckets = (
+                bits.reshape(len(M), bands, rows).astype(np.int64) * weights
+            ).sum(axis=2)  # (n, bands)
+            n = len(M)
+            yield pd.DataFrame(
+                {
+                    f"{role}_id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), bands
+                    ),
+                    f"{role}_vec": [v for v in pdf[vec_col] for _ in range(bands)],
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(sign_and_band, schema)
 
 
 def lsh_topk(
@@ -116,54 +207,17 @@ def lsh_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band with the
-    query, then exact cosine re-rank. Same output schema as
-    ``brute_force_topk`` (ranks relative to the candidate set)."""
+    query, then exact cosine re-rank (Arrow-vectorized). Same output
+    schema as ``brute_force_topk`` (ranks relative to the candidate set)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    assert planes % bands == 0
-    rows = planes // bands
-
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = hyperplane_signature(vec_col, dim, planes, seed)
-        return (
-            df.select(
-                F.col(id_col).alias(f"{role}_id"),
-                F.col(vec_col).alias(f"{role}_vec"),
-                sig.alias("sig"),
-            )
-            .select(
-                f"{role}_id",
-                f"{role}_vec",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band"),
-                                F.concat_ws(
-                                    "",
-                                    *[F.col("sig")[b * rows + r].cast("string")
-                                      for r in range(rows)],
-                                ).alias("bucket"),
-                            )
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("bb"),
-            )
-            .select(f"{role}_id", f"{role}_vec", "bb.band", "bb.bucket")
-        )
-
-    cq = banded(queries, "query")
-    cc = banded(corpus, "neighbor")
+    cq = banded_signatures(queries, id_col, vec_col, dim, planes, bands, seed, "query")
+    cc = banded_signatures(corpus, id_col, vec_col, dim, planes, bands, seed, "neighbor")
     cand = (
         cc.join(F.broadcast(cq), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn(
-            "cos_sim",
-            dot("query_vec", "neighbor_vec").cast("double")
-            / (norm("query_vec") * norm("neighbor_vec")).cast("double"),
-        )
+        .withColumn("cos_sim", cosine_arrow(F.col("query_vec"), F.col("neighbor_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -202,11 +256,7 @@ def embedding_near_dups_exact(
     b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
-            "cos_sim",
-            dot("_va", "_vb").cast("double")
-            / (norm("_va") * norm("_vb")).cast("double"),
-        )
+        .withColumn("cos_sim", cosine_arrow(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
@@ -223,37 +273,24 @@ def embedding_near_dups(
     seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
-    (never a corpus×corpus cross join)."""
+    (never a corpus×corpus cross join). Pairs are verified by exact
+    cosine, so precision is 1; recall depends on (planes, bands)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    rows = planes // bands
-    sig = hyperplane_signature(vec_col, dim, planes, seed)
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-                         sig.alias("sig"))
-    banded = base.select(
-        "id", "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("id").alias("doc_a"), F.col("vec").alias("va"))
-    b = banded.select("band", "bucket", F.col("id").alias("doc_b"), F.col("vec").alias("vb"))
+    banded = banded_signatures(
+        corpus, id_col, vec_col, dim, planes, bands, seed, "x"
+    )
+    a = banded.select(
+        "band", "bucket", F.col("x_id").alias("doc_a"), F.col("x_vec").alias("va")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("x_id").alias("doc_b"), F.col("x_vec").alias("vb")
+    )
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("cos_sim", dot("va", "vb").cast("double") / (norm("va") * norm("vb")).cast("double"))
+        .withColumn("cos_sim", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )
@@ -271,9 +308,6 @@ def _assign_clusters(df: DataFrame, centroids, id_col: str, vec_col: str,
     Python, no shuffle. ``n_probe`` > 1 explodes each row to its top-p
     nearest centroids (query-side probing).
     """
-    import numpy as np
-    import pandas as pd
-
     C = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
     n_probe_eff = min(n_probe, len(C))
 
@@ -312,8 +346,6 @@ def ivf_topk(
     partitioned by cluster_id; queries then touch n_probe/n_centroids of
     the data instead of all of it. Same output schema as brute_force_topk.
     """
-    import numpy as np
-
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -335,11 +367,7 @@ def ivf_topk(
         c.join(F.broadcast(qd), "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn(
-            "cos_sim",
-            dot("q_vec", "c_vec").cast("double")
-            / (norm("q_vec") * norm("c_vec")).cast("double"),
-        )
+        .withColumn("cos_sim", cosine_arrow(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -44,7 +44,11 @@ def register(name: str, oracle: str | None = None):
 
 
 def round6(c) -> F.Column:
-    c = F.round(c, 6)
+    # `+ 0.0` normalizes IEEE signed zero: ROUND of a tiny negative yields
+    # -0.0, which is ==-equal to 0.0 but hashes differently at the driver's
+    # byte-level compare (CORRECTNESS_r02 tumbling_window_stats, 1 row).
+    # -0.0 + 0.0 = +0.0 on every IEEE engine; oracle SQL appends the same.
+    c = F.round(c, 6) + F.lit(0.0)
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
@@ -71,15 +75,18 @@ def mean6(c) -> F.Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     s = F.sum(col.cast("decimal(38,12)"))
-    m = F.round((s.cast("double") / F.count(col)).cast("decimal(38,12)"), 6).cast("double")
+    m = (
+        F.round((s.cast("double") / F.count(col)).cast("decimal(38,12)"), 6).cast("double")
+        + F.lit(0.0)  # signed-zero normalization, see round6
+    )
     return F.when(F.isnan(m), F.lit(None).cast("double")).otherwise(m)
 
 
 def mean6_sql(expr: str) -> str:
     """DuckDB oracle twin of :func:`mean6` for a column/expression."""
     return (
-        f"CAST(ROUND(CAST(CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
-        f" / count({expr}) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+        f"CAST((ROUND(CAST(CAST(sum(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+        f" / count({expr}) AS DECIMAL(38,12)), 6) + 0.0) AS DOUBLE)"
     )
 
 
@@ -104,11 +111,11 @@ _POW_SUMS = """
 @register(
     "skewness_pop",
     f"""WITH s AS ({_POW_SUMS})
-    SELECT event_type, ROUND(
+    SELECT event_type, (ROUND(
       CASE WHEN n = 0 THEN 0.0
            WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
            ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
-                / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness
+                / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) + 0.0) AS skewness
     FROM s""",
 )
 def q_skewness_pop(spark, sf_dir):
@@ -118,7 +125,7 @@ def q_skewness_pop(spark, sf_dir):
 
 @register(
     "skewness_sample",
-    "SELECT event_type, ROUND(skewness(value), 6) AS skewness_sample "
+    "SELECT event_type, (ROUND(skewness(value), 6) + 0.0) AS skewness_sample "
     "FROM events GROUP BY event_type",
 )
 def q_skewness_sample(spark, sf_dir):
@@ -131,11 +138,11 @@ def q_skewness_sample(spark, sf_dir):
 @register(
     "kurtosis_pop",
     f"""WITH s AS ({_POW_SUMS})
-    SELECT event_type, ROUND(
+    SELECT event_type, (ROUND(
       CASE WHEN n = 0 THEN 0.0
            WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
            ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*pow(s1/n, 4))
-                / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) AS kurtosis
+                / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) + 0.0) AS kurtosis
     FROM s""",
 )
 def q_kurtosis_pop(spark, sf_dir):
@@ -145,7 +152,7 @@ def q_kurtosis_pop(spark, sf_dir):
 
 @register(
     "kurtosis_sample",
-    "SELECT event_type, ROUND(kurtosis(value), 6) AS kurtosis_sample "
+    "SELECT event_type, (ROUND(kurtosis(value), 6) + 0.0) AS kurtosis_sample "
     "FROM events GROUP BY event_type",
 )
 def q_kurtosis_sample(spark, sf_dir):
@@ -172,9 +179,9 @@ _W_SUMS = """
 @register(
     "stddev_weighted",
     f"""WITH s AS ({_W_SUMS})
-    SELECT l_returnflag, ROUND(
+    SELECT l_returnflag, (ROUND(
       CASE WHEN sw = 0 THEN 0.0
-           ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6)
+           ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6) + 0.0)
       AS stddev_weighted
     FROM s""",
 )
@@ -188,11 +195,11 @@ def q_stddev_weighted(spark, sf_dir):
 @register(
     "skewness_weighted",
     f"""WITH s AS ({_W_SUMS})
-    SELECT l_returnflag, ROUND(
+    SELECT l_returnflag, (ROUND(
       CASE WHEN sw = 0 THEN 0.0
            WHEN (swx2/sw - (swx/sw)*(swx/sw)) <= 0 THEN 0.0
            ELSE (swx3/sw - 3*(swx/sw)*(swx2/sw) + 2*pow(swx/sw, 3))
-                / pow(swx2/sw - (swx/sw)*(swx/sw), 1.5) END, 6)
+                / pow(swx2/sw - (swx/sw)*(swx/sw), 1.5) END, 6) + 0.0)
       AS skewness_weighted
     FROM s""",
 )
@@ -206,12 +213,12 @@ def q_skewness_weighted(spark, sf_dir):
 @register(
     "kurtosis_weighted",
     f"""WITH s AS ({_W_SUMS})
-    SELECT l_returnflag, ROUND(
+    SELECT l_returnflag, (ROUND(
       CASE WHEN sw = 0 THEN 0.0
            WHEN (swx2/sw - (swx/sw)*(swx/sw)) <= 0 THEN 0.0
            ELSE (swx4/sw - 4*(swx/sw)*(swx3/sw)
                  + 6*(swx/sw)*(swx/sw)*(swx2/sw) - 3*pow(swx/sw, 4))
-                / pow(swx2/sw - (swx/sw)*(swx/sw), 2) END, 6)
+                / pow(swx2/sw - (swx/sw)*(swx/sw), 2) END, 6) + 0.0)
       AS kurtosis_weighted
     FROM s""",
 )
@@ -232,8 +239,8 @@ def q_kurtosis_weighted(spark, sf_dir):
               event_type,
               count(*) AS n_rows,
               {mean6_sql('value')} AS mean_value,
-              ROUND(stddev_pop(value), 6) AS stddev_value,
-              ROUND(skewness(value), 6) AS skewness_sample
+              (ROUND(stddev_pop(value), 6) + 0.0) AS stddev_value,
+              (ROUND(skewness(value), 6) + 0.0) AS skewness_sample
        FROM events GROUP BY 1, 2""",
 )
 def q_tumbling(spark, sf_dir):
@@ -328,12 +335,12 @@ def q_session(spark, sf_dir):
                 sum(n_tok*token_mean*token_mean) AS swx2
          FROM tok GROUP BY source)
        SELECT source, n AS n_docs,
-              ROUND(CASE WHEN (s2/n - (s1*1.0/n)*(s1*1.0/n)) <= 0 THEN 0.0
+              (ROUND(CASE WHEN (s2/n - (s1*1.0/n)*(s1*1.0/n)) <= 0 THEN 0.0
                     ELSE (s3/n - 3*(s1*1.0/n)*(s2/n) + 2*pow(s1*1.0/n, 3))
-                         / pow(s2/n - (s1*1.0/n)*(s1*1.0/n), 1.5) END, 6)
+                         / pow(s2/n - (s1*1.0/n)*(s1*1.0/n), 1.5) END, 6) + 0.0)
                 AS skewness_n_tok,
-              ROUND(CASE WHEN sw = 0 THEN 0.0
-                    ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6)
+              (ROUND(CASE WHEN sw = 0 THEN 0.0
+                    ELSE sqrt(greatest(swx2/sw - (swx/sw)*(swx/sw), 0.0)) END, 6) + 0.0)
                 AS stddev_weighted_token_mean
        FROM s""",
 )
@@ -358,10 +365,10 @@ def q_token_stats(spark, sf_dir):
 @register(
     "pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-              ROUND(sum(l_quantity), 6) AS sum_qty,
-              ROUND(sum(l_extendedprice), 6) AS sum_base_price,
-              ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-              ROUND(avg(l_quantity), 6) AS avg_qty,
+              (ROUND(sum(l_quantity), 6) + 0.0) AS sum_qty,
+              (ROUND(sum(l_extendedprice), 6) + 0.0) AS sum_base_price,
+              (ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS sum_disc_price,
+              (ROUND(avg(l_quantity), 6) + 0.0) AS avg_qty,
               count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -385,8 +392,8 @@ def q_pricing_summary(spark, sf_dir):
 @register(
     "order_stats_by_segment",
     """SELECT c.c_mktsegment, count(*) AS n_orders,
-              ROUND(sum(o.o_totalprice), 6) AS total_price,
-              ROUND(skewness(o.o_totalprice), 6) AS skewness_price
+              (ROUND(sum(o.o_totalprice), 6) + 0.0) AS total_price,
+              (ROUND(skewness(o.o_totalprice), 6) + 0.0) AS skewness_price
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        GROUP BY c.c_mktsegment""",
 )
@@ -416,12 +423,12 @@ _STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
     f"""SELECT doc_id, source,
                len(string_split(text, ' ')) AS n_words,
                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
-               ROUND(list_aggregate(list_transform(string_split(text, ' '),
+               (ROUND(list_aggregate(list_transform(string_split(text, ' '),
                                                    w -> length(w)), 'sum')
-                     * 1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
-               ROUND(len(list_filter(string_split(text, ' '),
+                     * 1.0 / len(string_split(text, ' ')), 6) + 0.0) AS avg_word_len,
+               (ROUND(len(list_filter(string_split(text, ' '),
                                      w -> list_contains({_STOP_SQL}, lower(w))))
-                     * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                     * 1.0 / len(string_split(text, ' ')), 6) + 0.0) AS stopword_ratio,
                ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
         FROM documents""",
 )
@@ -494,7 +501,7 @@ def q_dedup_exact(spark, sf_dir):
                   ))) AS n_shingles
            FROM documents))
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              ROUND(count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 6)
+              (ROUND(count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 6) + 0.0)
                 AS jaccard
        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        GROUP BY a.doc_id, b.doc_id
@@ -532,9 +539,9 @@ def q_dedup_simhash(spark, sf_dir):
 @register(
     "ann_bruteforce_topk",
     """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-              ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+              (ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
                     / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
-                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) + 0.0) AS cos_sim
        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
        WHERE q.vec_id < 5
        QUALIFY row_number() OVER (
@@ -555,9 +562,9 @@ def q_ann_bruteforce(spark, sf_dir):
 @register(
     "embedding_near_dups_exact",
     """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-              ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              (ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) + 0.0) AS cos_sim
        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -579,6 +586,31 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return S.embedding_near_dups(emb, threshold=0.8, planes=16, bands=8)
 
 
+@register(
+    "embedding_near_dups_lsh_verified",
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              (ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) + 0.0) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45""",
+)
+def q_embedding_near_dups_lsh_verified(spark, sf_dir):
+    """The LSH scale path with a REAL oracle: banded hyperplane signatures
+    block the candidate pairs, exact cosine verifies them (precision 1 by
+    construction), and (planes=64, bands=16) was chosen so that measured
+    recall on this corpus is 1.0 at sf0.001 and sf0.01 — the LSH output
+    then EQUALS the exact all-pairs result and the DuckDB all-pairs oracle
+    hash-verifies the whole path (banding, bucket join, dedup, Arrow
+    re-rank). The 0.45 threshold is set where this corpus actually has
+    pairs (max pairwise cosine ~0.51 at sf0.01; 0.8 yields zero rows)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = S.embedding_near_dups(emb, threshold=0.45, planes=64, bands=16)
+    return out.select("doc_a", "doc_b", round6(F.col("cos_sim")).alias("cos_sim"))
+
+
 # ---------------------------------------------------------------------------
 # 22-25: additional relational surface (joins, top-k, quantiles, distinct)
 # ---------------------------------------------------------------------------
@@ -586,7 +618,7 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 @register(
     "interval_join_orders",
     """SELECT o.o_orderkey, count(*) AS n_lines,
-              ROUND(sum(l.l_extendedprice), 6) AS total_price
+              (ROUND(sum(l.l_extendedprice), 6) + 0.0) AS total_price
        FROM orders o JOIN lineitem l
          ON l.l_orderkey = o.o_orderkey
         AND l.l_shipdate >= o.o_orderdate
@@ -615,7 +647,7 @@ def q_interval_join_orders(spark, sf_dir):
 
 @register(
     "topk_users_by_value",
-    """SELECT event_type, user_id, ROUND(total, 6) AS total_value
+    """SELECT event_type, user_id, (ROUND(total, 6) + 0.0) AS total_value
        FROM (SELECT event_type, user_id, sum(value) AS total
              FROM events GROUP BY event_type, user_id)
        QUALIFY row_number() OVER (
@@ -637,8 +669,8 @@ def q_topk_users(spark, sf_dir):
 @register(
     "value_percentiles",
     """SELECT event_type,
-              ROUND(quantile_cont(value, 0.5), 6) AS p50,
-              ROUND(quantile_cont(value, 0.95), 6) AS p95
+              (ROUND(quantile_cont(value, 0.5), 6) + 0.0) AS p50,
+              (ROUND(quantile_cont(value, 0.95), 6) + 0.0) AS p95
        FROM events GROUP BY event_type""",
 )
 def q_value_percentiles(spark, sf_dir):
@@ -679,11 +711,11 @@ def q_approx_distinct_users(spark, sf_dir):
        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
               source,
               count(*) AS n_tokens,
-              ROUND(avg(tok), 6) AS mean_token,
-              ROUND(CASE WHEN (sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2)) <= 0 THEN 0.0
+              (ROUND(avg(tok), 6) + 0.0) AS mean_token,
+              (ROUND(CASE WHEN (sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2)) <= 0 THEN 0.0
                     ELSE (sum(pow(tok,3))/count(*) - 3*(sum(tok*1.0)/count(*))*(sum(tok*tok*1.0)/count(*))
                           + 2*pow(sum(tok*1.0)/count(*), 3))
-                         / pow(sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2), 1.5) END, 6)
+                         / pow(sum(tok*tok*1.0)/count(*) - pow(sum(tok*1.0)/count(*), 2), 1.5) END, 6) + 0.0)
                 AS skewness_token
        FROM tokd GROUP BY 1, 2""",
 )
@@ -729,14 +761,14 @@ def q_ann_ivf(spark, sf_dir):
     "cumulative_stats_all",
     f"""WITH s AS ({_POW_SUMS})
     SELECT event_type, n AS n_rows,
-      ROUND(CASE WHEN n = 0 THEN 0.0
+      (ROUND(CASE WHEN n = 0 THEN 0.0
             WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
             ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
-                 / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) AS skewness,
-      ROUND(CASE WHEN n = 0 THEN 0.0
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) + 0.0) AS skewness,
+      (ROUND(CASE WHEN n = 0 THEN 0.0
             WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
             ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*pow(s1/n, 4))
-                 / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) AS kurtosis
+                 / pow(s2/n - (s1/n)*(s1/n), 2) END, 6) + 0.0) AS kurtosis
     FROM s""",
 )
 def q_cumulative_stats_all(spark, sf_dir):
@@ -760,7 +792,7 @@ def q_cumulative_stats_all(spark, sf_dir):
     "rollup_pricing",
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
               coalesce(l_linestatus, 'ALL') AS linestatus,
-              count(*) AS n, ROUND(sum(l_extendedprice), 6) AS total
+              count(*) AS n, (ROUND(sum(l_extendedprice), 6) + 0.0) AS total
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 )
 def q_rollup_pricing(spark, sf_dir):
@@ -783,7 +815,7 @@ def q_rollup_pricing(spark, sf_dir):
          FROM orders GROUP BY 1, 2)
        SELECT e.event_id, e.user_id,
               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-              ROUND(o.o_totalprice, 6) AS last_order_price
+              (ROUND(o.o_totalprice, 6) + 0.0) AS last_order_price
        FROM events e
        ASOF LEFT JOIN o
          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
@@ -898,7 +930,7 @@ def q_token_topk_per_source(spark, sf_dir):
          FROM orders GROUP BY 1, 2)
        SELECT e.event_id, e.user_id,
               strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-              ROUND(o.o_totalprice, 6) AS last_order_price
+              (ROUND(o.o_totalprice, 6) + 0.0) AS last_order_price
        FROM events e
        ASOF LEFT JOIN o
          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
@@ -984,7 +1016,7 @@ def q_dedup_clusters(spark, sf_dir):
                 unnest(embedding::DOUBLE[]) AS v
          FROM embeddings)
        SELECT label, CAST(pos AS BIGINT) AS pos,
-              ROUND(avg(v), 6) AS mean_v
+              (ROUND(avg(v), 6) + 0.0) AS mean_v
        FROM e GROUP BY label, pos""",
 )
 def q_embedding_centroids(spark, sf_dir):
@@ -999,4 +1031,100 @@ def q_embedding_centroids(spark, sf_dir):
         .withColumn("v", F.col("v").cast("double"))
         .groupBy("label", "pos")
         .agg(round6(F.avg("v")).alias("mean_v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36-37: Arrow-pipeline gate queries — multimodal plumbing and token-array
+# reductions were pytest-only in r2; these put both in the driver's oracle
+# harness (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_feature_stats",
+    """WITH m AS (
+         SELECT CASE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 AS INT)
+                  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                octet_length(encode(text)) AS payload_bytes,
+                ord(substr(text, 1, 1)) / 255.0 AS feat0
+         FROM documents)
+       SELECT kind, count(*) AS n_media,
+              CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+              (ROUND(avg(feat0), 6) + 0.0) AS mean_feat0
+       FROM m GROUP BY kind""",
+)
+def q_multimodal_feature_stats(spark, sf_dir):
+    """Drives the REAL multimodal pipeline (operators/multimodal.py
+    extract_features: binary payload column -> Arrow mapInPandas ->
+    deterministic featurizer) on oracle-able data: payload = UTF-8 bytes
+    of each document, kind = md5 bucket of doc_id. The fake featurizer's
+    feature[0] is byte0/255, which DuckDB reproduces as ord(first char)
+    (corpus verified all-ASCII); payload_bytes = octet_length."""
+    from ..operators import multimodal as M
+
+    docs = _load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 3
+    )
+    kind = (
+        F.when(bucket == 0, "image").when(bucket == 1, "audio").otherwise("video")
+    )
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = M.extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("payload_bytes").cast("long").alias("total_bytes"),
+        round6(F.avg(F.element_at("features", 1).cast("double"))).alias("mean_feat0"),
+    )
+
+
+@register(
+    "token_arrow_stats",
+    """WITH tok AS (
+         SELECT source,
+                list_transform(string_split(text, ' '), w -> length(w)) AS toks,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       t1 AS (
+         SELECT source,
+                list_aggregate(toks, 'sum') * 1.0 / n_tok AS token_mean,
+                list_aggregate(list_transform(toks, t -> t*t), 'sum') * 1.0 / n_tok AS msq,
+                CAST(list_aggregate(toks, 'max') AS DOUBLE) AS token_max
+         FROM tok),
+       d AS (
+         SELECT source, token_mean,
+                msq - token_mean * token_mean AS token_var, token_max
+         FROM t1)
+       SELECT source, count(*) AS n_docs,
+              (ROUND(avg(token_mean), 6) + 0.0) AS mean_token_mean,
+              (ROUND(avg(token_var), 6) + 0.0) AS mean_token_var,
+              (ROUND(avg(token_max), 6) + 0.0) AS mean_token_max
+       FROM d GROUP BY source""",
+)
+def q_token_arrow_stats(spark, sf_dir):
+    """Drives the Arrow token-reduction path (functions/token_ops.py
+    with_token_stats_arrow: flatten + np.add.reduceat per batch) in the
+    oracle gate. Token values are small ints, so the per-row sums are
+    exact in both engines; the finalize arithmetic (sumsq/n - mean^2) is
+    the identical IEEE op sequence on both sides."""
+    from ..functions import token_ops
+
+    docs = tokens_from_documents(_load(spark, sf_dir, "documents"))
+    out = token_ops.with_token_stats_arrow(docs)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg("token_mean")).alias("mean_token_mean"),
+        round6(F.avg("token_var")).alias("mean_token_var"),
+        round6(F.avg("token_max")).alias("mean_token_max"),
     )

@@ -166,6 +166,7 @@ def salted_group_stats(
     keys: Sequence[str] = ("source",),
     n_salt: int = 16,
     sample: bool = False,
+    discriminator: Optional[str] = None,
 ) -> DataFrame:
     """Exact grouped stats via salted two-level aggregation.
 
@@ -175,13 +176,26 @@ def salted_group_stats(
     merge), only the shuffle layout changes. Use when a group key is so
     skewed that one reducer would own most rows (e.g. the Zipf ``source``
     head at 10^12 rows).
+
+    ``discriminator``: a per-row-unique column (doc_id, a Kafka
+    partition/offset pair, a file+rownum id from the source) used as the
+    salt hash input. Pass one whenever the data may contain byte-identical
+    duplicate rows: the default full-row content hash is retry-stable but
+    maps identical rows to ONE salt bucket, so a hot key dominated by
+    duplicates would keep its skew — exactly the scenario salting exists
+    for.
     """
-    # Salt from a hash of the full row, NOT monotonically_increasing_id():
+    # Salt from a deterministic hash, NOT monotonically_increasing_id():
     # the latter changes across task retries, so after a fetch failure a
     # recomputed map task could re-salt rows differently and double-count /
     # lose partial sums in partially-consumed reduce partitions
-    # (SPARK-23207 class of bug). Row-content hashing is retry-stable.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salt).alias("_salt")
+    # (SPARK-23207 class of bug). Hashing the discriminator (preferred) or
+    # the full row content is retry-stable.
+    salt_input = (
+        [F.col(discriminator)] if discriminator
+        else [F.col(c) for c in df.columns]
+    )
+    salt = F.pmod(F.xxhash64(*salt_input), n_salt).alias("_salt")
     partial_aggs = SA.moment_sums(value)
     if weight is not None:
         partial_aggs = partial_aggs + SA.weighted_sums(value, weight)

@@ -105,6 +105,25 @@ class ExactlyOnceParquetSink:
             .drop("_rn", "batch_id")
         )
 
+    def read_latest_batch(self, spark: SparkSession) -> DataFrame:
+        """Rows of the most recent committed batch ONLY.
+
+        Required for COMPLETE-output-mode queries (session windows): each
+        batch re-emits the ENTIRE aggregate, so the latest batch IS the
+        table. Resolving latest-per-key across batches (read_current) is
+        wrong there — a session merged away by a later batch would still
+        surface its pre-merge row from an earlier batch (phantom stale
+        rows). batch_id is the partition column, so the filter prunes to
+        one partition directory.
+        """
+        df = self.read_all(spark)
+        entries = self.committed_batches()
+        if entries:
+            latest = max(e["batch_id"] for e in entries)
+        else:
+            latest = df.agg(F.max("batch_id")).collect()[0][0]
+        return df.filter(F.col("batch_id") == latest).drop("batch_id")
+
     def committed_batches(self) -> list[dict]:
         if not os.path.isdir(self.ledger_dir):
             return []

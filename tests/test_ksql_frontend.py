@@ -220,3 +220,84 @@ def test_drop_and_show(engine):
         "FROM s GROUP BY 'k' EMIT CHANGES;"
     )
     assert engine.execute("SELECT * FROM t;")[0]["total"] == pytest.approx(5.0)
+
+
+def test_scalar_expressions_and_where(engine):
+    """The first statements a reference user writes past the README
+    (VERDICT r2 item 6): arithmetic inside the UDAF call and a WHERE
+    predicate on the source stream."""
+    engine.execute(
+        "CREATE STREAM m (key VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='m', value_format='json');"
+    )
+    vals = [3.0, 4.0, 7.0, 13.0, 16.0, 20.0]
+    stmts = [f"INSERT INTO m (key, val) VALUES ('a', {v});" for v in vals]
+    stmts += ["INSERT INTO m (key, val) VALUES ('a', -5.0);",
+              "INSERT INTO m (key, val) VALUES ('b', -1.0);"]
+    engine.execute(" ".join(stmts))
+    engine.execute(
+        "CREATE TABLE expr_t AS SELECT key AS id, "
+        "SKEWNESS(val * 2) AS sk, SUM(val * 2) AS doubled, "
+        "AVG((val + 1) / 2) AS halfshift "
+        "FROM m WHERE val > 0 GROUP BY key EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM expr_t;")
+    # WHERE dropped every negative row — including all of key 'b'
+    assert [r["id"] for r in rows] == ["a"]
+    r = rows[0]
+    assert r["doubled"] == pytest.approx(2 * sum(vals))
+    assert r["halfshift"] == pytest.approx(sum((v + 1) / 2 for v in vals) / len(vals))
+    # population skewness is invariant under positive scaling, so the
+    # expected value is the plain skewness of the positive inputs
+    n = len(vals)
+    m1 = sum(vals) / n
+    var = sum(v * v for v in vals) / n - m1 * m1
+    m3 = sum(v ** 3 for v in vals) / n - 3 * m1 * sum(v * v for v in vals) / n + 2 * m1 ** 3
+    assert r["sk"] == pytest.approx(m3 / var ** 1.5, abs=1e-9)
+
+
+def test_session_bridge_replaces_stale_rows(engine):
+    """Complete-mode session tables must serve ONLY the latest complete
+    emission: an event that bridges two previously-emitted sessions merges
+    them, and the pre-merge rows from earlier batches must not resurface
+    in pull queries (r2 ADVICE phantom-stale-rows finding)."""
+    engine.execute(
+        "CREATE STREAM ev2 (usr VARCHAR, ts TIMESTAMP) "
+        "WITH (kafka_topic='ev2', value_format='json', timestamp='ts');"
+    )
+    engine.execute(
+        "INSERT INTO ev2 (usr, ts) VALUES ('a', '2024-01-01 00:00:00');"
+        "INSERT INTO ev2 (usr, ts) VALUES ('a', '2024-01-01 00:20:00');"
+    )
+    engine.execute(
+        "CREATE TABLE sess2 AS SELECT usr AS id, COUNT(*) AS n "
+        "FROM ev2 WINDOW SESSION (10 MINUTES) GROUP BY usr;"
+    )
+    rows = engine.execute("SELECT * FROM sess2;")
+    assert sorted(r["n"] for r in rows) == [1, 1]  # two separate sessions
+    # the bridging event merges both sessions into one
+    engine.execute("INSERT INTO ev2 (usr, ts) VALUES ('a', '2024-01-01 00:10:00');")
+    rows = engine.execute("SELECT * FROM sess2;")
+    assert len(rows) == 1 and rows[0]["n"] == 3
+
+
+def test_pull_query_projection_and_predicate(engine):
+    """Pull queries past the IT's SELECT * shape: column projection and a
+    compound WHERE predicate."""
+    engine.execute(
+        "CREATE STREAM pq (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='pq', value_format='json');"
+    )
+    engine.execute(
+        "INSERT INTO pq (k, val) VALUES ('a', 1.0);"
+        "INSERT INTO pq (k, val) VALUES ('a', 2.0);"
+        "INSERT INTO pq (k, val) VALUES ('b', 10.0);"
+    )
+    engine.execute(
+        "CREATE TABLE pt AS SELECT k AS id, SUM(val) AS total, COUNT(*) AS n "
+        "FROM pq GROUP BY k EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT total FROM pt WHERE id = 'a' AND total > 1;")
+    assert rows == [{"total": pytest.approx(3.0)}]
+    rows = engine.execute("SELECT id, n FROM pt;")
+    assert sorted((r["id"], r["n"]) for r in rows) == [("a", 2), ("b", 1)]

@@ -354,3 +354,35 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 61-node chain (diameter 60) must converge within the default
+    max_iter=25: pointer jumping (label <- label(label)) halves label-chain
+    depth per round, so rounds = O(log diameter), not O(diameter). Plain
+    min-label propagation would need 60 rounds here."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning -> failure
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in D.connected_components(pairs).collect()}
+    assert len(got) == 61
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_nonconvergence_warns(spark):
+    """Exhausting max_iter without convergence must warn, not silently
+    return partial labels (r2 ADVICE)."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        D.connected_components(pairs, max_iter=2).collect()
+    assert any("converge" in str(x.message) for x in w)

@@ -36,9 +36,11 @@ def test_sql_registered_udafs(spark):
 
 
 def test_reference_name_registration_guard(spark):
-    """Registering under the reference's SQL names must fail loudly: Spark
-    resolves builtin skewness/kurtosis first and their conventions differ
-    (builtin = sample G1 / excess; reference = population RAW)."""
+    """Registering under the reference's SQL names must fail loudly by
+    default: a session-registered UDF SHADOWS the same-named Spark builtin
+    (verified below), silently switching skewness/kurtosis semantics for
+    the whole session. force=True opts in and must actually deliver the
+    REFERENCE conventions under the reference names."""
     import warnings
 
     from ksql_udaf_statistics_spark.functions.sql_registry import (
@@ -47,7 +49,24 @@ def test_reference_name_registration_guard(spark):
 
     with pytest.raises(ValueError, match="skewness"):
         register_reference_names(spark)
+    # isolate the shadowing in a sibling session: same SparkContext,
+    # separate function registry — the shared fixture keeps its builtins
+    s2 = spark.newSession()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        names = register_reference_names(spark, force=True)
-    assert names and any("builtin" in str(x.message) for x in w)
+        names = register_reference_names(s2, force=True)
+    assert "skewness" in names and "kurtosis" in names
+    assert any("builtin" in str(x.message) for x in w)
+    # resolution check: SQL kurtosis must now be the reference's
+    # population RAW form (golden 1.4400), not Spark's excess (-1.56)
+    s2.createDataFrame(
+        [Row(x=v) for v in GOLDEN]
+    ).createOrReplaceTempView("guard_vals")
+    k = s2.sql("SELECT kurtosis(x) AS k FROM guard_vals").collect()[0]["k"]
+    assert k == pytest.approx(1.4400, abs=1e-4)
+    # and the original session still resolves the Spark builtin (excess)
+    spark.createDataFrame(
+        [Row(x=v) for v in GOLDEN]
+    ).createOrReplaceTempView("guard_vals_orig")
+    k0 = spark.sql("SELECT kurtosis(x) AS k FROM guard_vals_orig").collect()[0]["k"]
+    assert k0 < 0  # excess kurtosis of the golden multiset is negative
