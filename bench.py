@@ -101,10 +101,19 @@ def bench_batch(spark) -> dict[str, float]:
     from ksql_udaf_statistics_spark.plans.queries import QUERIES
     from ksql_udaf_statistics_spark.sources.tables import TABLE_NAMES
 
-    # warmup: initialize parquet reader, codegen, and JIT once so the first
-    # timed query doesn't absorb session startup
+    # warmup: initialize parquet reader, codegen, JIT, and the Python/Arrow
+    # worker pool once so the first timed query doesn't absorb session
+    # startup (the first pandas-UDF query otherwise pays ~1.5s of worker
+    # spawn + Arrow codec init that every later one reuses)
     for t in TABLE_NAMES:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 64, 1, 8).mapInPandas(_noop, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -66,7 +66,8 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Array of n-word shingles (distinct), as strings."""
+    """Array of n-word shingles (distinct), as strings — the readable
+    form. Hot paths use :func:`word_shingle_hashes` (same set, cheaper)."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     return F.array_distinct(
@@ -74,10 +75,42 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
+def word_shingle_hashes(text_col: str = "text", n: int = 3, seed: int = 0) -> F.Column:
+    """Array of distinct n-word shingle HASHES.
+
+    Cost shape (the per-document hot loop of every near-dup pass): each
+    word is hashed ONCE, then each shingle hash combines n consecutive
+    word hashes with one more xxhash64 over longs — no per-shingle string
+    slicing/concatenation (measured ~4x cheaper than building shingle
+    strings at 130 shingles/doc). The distinct-hash set equals the
+    distinct-string set up to 64-bit collisions (~n_shingles^2 / 2^64 —
+    negligible below ~2^32 distinct shingles per corpus).
+    """
+    w = F.split(F.col(text_col), " ")
+    wh = F.transform(w, lambda x: F.xxhash64(x, F.lit(seed)))
+    size = F.size(w)
+    # Build shingle hashes by zipping the word-hash array against its own
+    # 1..n-1 shifted slices: rolling = xxhash64(...xxhash64(h_i, h_{i+1})
+    # ..., h_{i+n-1}). CRITICAL cost note: indexing `wh` inside a
+    # per-element lambda (element_at/get) re-evaluates the WHOLE word-hash
+    # array for every access — O(len^2) per document (measured 10x slower
+    # than string shingling). zip_with/slice keep every reference to `wh`
+    # in row position, so it evaluates O(n) times per row.
+    rolling = wh
+    for k in range(1, n):
+        shifted = F.slice(wh, k + 1, F.greatest(size - k, F.lit(1)))
+        rolling = F.zip_with(rolling, shifted, lambda a, b: F.xxhash64(a, b))
+    # keep the size-n+1 true shingles (zip_with null-pads the tail); short
+    # documents keep one truncated shingle, like word_shingles' slice
+    return F.array_distinct(
+        F.slice(rolling, 1, F.greatest(size - n + 1, F.lit(1)))
+    )
+
+
 def shingle_table(documents: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows + per-doc shingle counts."""
+    """(doc_id, shingle-hash) inverted-index rows + per-doc shingle counts."""
     sh = ensure_parallelism(documents).select(
-        "doc_id", word_shingles(text_col, n).alias("shingles")
+        "doc_id", word_shingle_hashes(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     return sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
 
@@ -101,7 +134,14 @@ def jaccard_pairs(
     shingles add candidates but can't push Jaccard over real thresholds —
     standard web-scale trick; at sf-test scale nothing hits the cap).
     """
-    sh = shingle_table(documents, text_col, n)
+    # the index carries 8-byte shingle hashes (word_shingle_hashes), not
+    # ~20-char strings: it is shuffled three times (document-frequency agg
+    # + both sides of the self-join), and the narrow key shrinks that
+    # traffic several-fold. Materialize it ONCE (localCheckpoint) instead
+    # of recomputing the shingling for each of those three consumers; at
+    # 100 TB the same role is played by persist(DISK_ONLY) or a staged
+    # write of the inverted index.
+    sh = shingle_table(documents, text_col, n).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "shingle")
     a = sh.select(
@@ -143,7 +183,7 @@ def minhash_signatures(
     so total cost is O(shingles) + O(shingles * num_hashes) cheap ops.
     """
     documents = ensure_parallelism(documents)
-    base = F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s, F.lit(seed)))
+    base = word_shingle_hashes(text_col, n, seed)
     sigs = F.array(
         *[
             F.array_min(
@@ -310,6 +350,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every id appearing in ``pairs``, where
     cluster_id = min id reachable through the pair graph — turns pairwise
@@ -330,9 +371,56 @@ def connected_components(
     lineage truncation point exists but nothing materializes until a real
     job runs — and convergence is only CHECKED every second round, so two
     propagation rounds execute inside one Spark job.
+
+    SIZE-ADAPTIVE fast path: the pair list entering this operator is the
+    REFINED near-dup output — orders of magnitude smaller than the corpus
+    (LSH/Jaccard refinement has already run). When it fits comfortably on
+    the driver (``driver_max_edges``, default 5M edges ~ 80 MB), a single
+    collect + union-find resolves components exactly with zero iterative
+    Spark jobs — each round of the distributed loop otherwise costs more
+    in plan analysis + job launch than the whole union-find. Above the
+    bound, the distributed label-propagation loop runs (unbounded scale,
+    all shuffle-side).
     """
     import warnings
 
+    id_type = pairs.schema[id_a].dataType.simpleString()
+    probe = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .limit(driver_max_edges + 1)
+        .collect()
+    )
+    if len(probe) <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in probe:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        cluster_min: dict = {}
+        for node in parent:
+            root = find(node)
+            m = cluster_min.get(root)
+            if m is None or node < m:
+                cluster_min[root] = node
+        rows = [(node, cluster_min[find(node)]) for node in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, f"doc_id {id_type}, cluster_id {id_type}"
+        )
+
+    # distributed path: recomputes the pair lineage once (persist upstream
+    # if that recompute is expensive)
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))

@@ -160,15 +160,24 @@ def banded_signatures(
     bands: int,
     seed: int,
     role: str,
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(role_id, role_vec, band, bucket) rows: one Arrow matmul per batch
+    """(role_id[, role_vec], band, bucket) rows: one Arrow matmul per batch
     computes all ``planes`` sign bits, packed per band into an integer
     bucket — the LSH blocking key. No per-plane interpreted dot products
-    (r2 hot-path fix), no stored plane table."""
+    (r2 hot-path fix), no stored plane table.
+
+    ``include_vec=False`` emits ids only: candidate generation then
+    shuffles 16-byte (band, bucket, id) rows instead of dragging two
+    embedding payloads through the bucket join and the pair dedup —
+    vectors are re-attached by an id join AFTER deduplication, when the
+    row count is at its minimum.
+    """
     assert planes % bands == 0
     rows = planes // bands
     H = _plane_matrix(dim, planes, seed)
-    schema = f"{role}_id long, {role}_vec array<float>, band int, bucket long"
+    vec_part = f", {role}_vec array<float>" if include_vec else ""
+    schema = f"{role}_id long{vec_part}, band int, bucket long"
     weights = (1 << np.arange(rows, dtype=np.int64))[None, None, :]
 
     def sign_and_band(batches):
@@ -181,16 +190,18 @@ def banded_signatures(
                 bits.reshape(len(M), bands, rows).astype(np.int64) * weights
             ).sum(axis=2)  # (n, bands)
             n = len(M)
-            yield pd.DataFrame(
-                {
-                    f"{role}_id": np.repeat(
-                        pdf[id_col].to_numpy(dtype=np.int64), bands
-                    ),
-                    f"{role}_vec": [v for v in pdf[vec_col] for _ in range(bands)],
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {
+                f"{role}_id": np.repeat(
+                    pdf[id_col].to_numpy(dtype=np.int64), bands
+                ),
+            }
+            if include_vec:
+                out[f"{role}_vec"] = [
+                    v for v in pdf[vec_col] for _ in range(bands)
+                ]
+            out["band"] = np.tile(np.arange(bands, dtype=np.int32), n)
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(sign_and_band, schema)
 
@@ -211,12 +222,23 @@ def lsh_topk(
     schema as ``brute_force_topk`` (ranks relative to the candidate set)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    cq = banded_signatures(queries, id_col, vec_col, dim, planes, bands, seed, "query")
-    cc = banded_signatures(corpus, id_col, vec_col, dim, planes, bands, seed, "neighbor")
+    cq = banded_signatures(queries, id_col, vec_col, dim, planes, bands, seed,
+                           "query", include_vec=False)
+    cc = banded_signatures(corpus, id_col, vec_col, dim, planes, bands, seed,
+                           "neighbor", include_vec=False)
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("query_vec"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("neighbor_vec"))
     cand = (
         cc.join(F.broadcast(cq), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        # vectors attached after dedup: the bucket join and dedup move only
+        # id pairs; the query side is broadcast, the corpus side id-joined
+        .join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
         .withColumn("cos_sim", cosine_arrow(F.col("query_vec"), F.col("neighbor_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -277,20 +299,27 @@ def embedding_near_dups(
     cosine, so precision is 1; recall depends on (planes, bands)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    # candidate generation over ids only: the bucket self-join and the
+    # pair dedup shuffle (band, bucket, id) rows, not embedding payloads
     banded = banded_signatures(
-        corpus, id_col, vec_col, dim, planes, bands, seed, "x"
+        corpus, id_col, vec_col, dim, planes, bands, seed, "x",
+        include_vec=False,
     )
-    a = banded.select(
-        "band", "bucket", F.col("x_id").alias("doc_a"), F.col("x_vec").alias("va")
-    )
-    b = banded.select(
-        "band", "bucket", F.col("x_id").alias("doc_b"), F.col("x_vec").alias("vb")
-    )
-    return (
+    a = banded.select("band", "bucket", F.col("x_id").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("x_id").alias("doc_b"))
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("cos_sim", cosine_arrow(F.col("va"), F.col("vb")))
+    )
+    # vectors re-attached at minimum row count (post-dedup); Catalyst /
+    # AQE broadcasts the corpus side when it is small enough
+    va = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "doc_a").join(vb, "doc_b")
+        .withColumn("cos_sim", cosine_arrow(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", "cos_sim")
     )

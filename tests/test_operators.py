@@ -369,7 +369,9 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # non-convergence warning -> failure
         got = {r["doc_id"]: r["cluster_id"]
-               for r in D.connected_components(pairs).collect()}
+               for r in D.connected_components(
+                   pairs, driver_max_edges=0  # force the distributed loop
+               ).collect()}
     assert len(got) == 61
     assert set(got.values()) == {0}
 
@@ -384,5 +386,5 @@ def test_connected_components_nonconvergence_warns(spark):
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        D.connected_components(pairs, max_iter=2).collect()
+        D.connected_components(pairs, max_iter=2, driver_max_edges=0).collect()
     assert any("converge" in str(x.message) for x in w)
