@@ -1128,3 +1128,27 @@ def q_token_arrow_stats(spark, sf_dir):
         round6(F.avg("token_var")).alias("mean_token_var"),
         round6(F.avg("token_max")).alias("mean_token_max"),
     )
+
+
+@register(
+    "lang_id_counts",
+    f"""WITH l AS (
+         SELECT source,
+                CASE WHEN len(list_filter(string_split(text, ' '),
+                              w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0
+                          / greatest(len(string_split(text, ' ')), 1) >= 0.05
+                     THEN 'en' ELSE 'unknown' END AS lang_pred
+         FROM documents)
+       SELECT source, lang_pred, count(*) AS n_docs
+       FROM l GROUP BY source, lang_pred""",
+)
+def q_lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic (operators/text.py::lang_id — stopword-ratio
+    signal) in the oracle gate: per-(source, predicted-lang) document
+    counts, the corpus-partitioning step of a multilingual pipeline."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
