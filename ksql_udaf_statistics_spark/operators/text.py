@@ -78,6 +78,19 @@ def lang_id(text: Column | str, threshold: float = 0.05) -> Column:
     )
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated n-gram occurrences within one document:
+    ``1 - distinct_ngrams / total_ngrams``. The standard boilerplate /
+    looping-text quality rule for LLM corpora (high ratio = templated or
+    degenerate text). One pass over the word array, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    total = F.greatest(F.size(w) - (n - 1), F.lit(1)).cast("double")
+    return F.lit(1.0) - F.size(F.array_distinct(shingles)).cast("double") / total
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: first 15 hex digits of
     md5 as a bigint (rolling-hash stand-in that DuckDB reproduces exactly

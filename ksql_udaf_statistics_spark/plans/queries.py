@@ -1152,3 +1152,31 @@ def q_lang_id_counts(spark, sf_dir):
         .groupBy("source", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "repetition_profile",
+    """WITH r AS (
+         SELECT source,
+                1.0 - len(list_distinct(list_transform(
+                        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i+2), ' '))))
+                    * 1.0 / greatest(len(string_split(text, ' ')) - 2, 1) AS rep_ratio
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+              (ROUND(avg(rep_ratio), 6) + 0.0) AS mean_rep_ratio,
+              (ROUND(max(rep_ratio), 6) + 0.0) AS max_rep_ratio
+       FROM r GROUP BY source""",
+)
+def q_repetition_profile(spark, sf_dir):
+    """Within-document n-gram repetition profile per source
+    (operators/text.py::repetition_ratio — the boilerplate/looping-text
+    quality rule): high mean repetition flags templated sources for
+    down-weighting or removal before training."""
+    docs = _load(spark, sf_dir, "documents")
+    rep = T.repetition_ratio(F.col("text"), n=3)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(F.avg(rep)).alias("mean_rep_ratio"),
+        round6(F.max(rep)).alias("max_rep_ratio"),
+    )

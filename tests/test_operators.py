@@ -388,3 +388,16 @@ def test_connected_components_nonconvergence_warns(spark):
         warnings.simplefilter("always")
         D.connected_components(pairs, max_iter=2, driver_max_edges=0).collect()
     assert any("converge" in str(x.message) for x in w)
+
+
+def test_repetition_ratio(spark):
+    """The boilerplate rule: looping text scores high, distinct text 0."""
+    df = spark.createDataFrame(
+        [(1, "spam ham eggs " * 10 + "end of doc"),   # repeated trigrams
+         (2, "every word here is completely different today")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", T.repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert got[2] == 0.0
+    assert got[1] > 0.8
