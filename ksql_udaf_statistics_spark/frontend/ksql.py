@@ -102,6 +102,7 @@ class TableSpec:
     checkpoint: str
     with_opts: dict = field(default_factory=dict)
     where: Optional[str] = None
+    having: Optional[str] = None
 
 
 class KsqlParseError(ValueError):
@@ -486,7 +487,9 @@ class KsqlEngine:
             r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
             r"(?:WHERE\s+(.*?)\s*)?"
             r"(?:WINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\((.*?)\)\s*)?"
-            r"GROUP\s+BY\s+(.*?)\s*(?:EMIT\s+CHANGES)?\s*$",
+            r"GROUP\s+BY\s+(.*?)\s*"
+            r"(?:HAVING\s+(.*?)\s*)?"
+            r"(?:EMIT\s+CHANGES)?\s*$",
             sel, re.IGNORECASE | re.DOTALL,
         )
         if not q:
@@ -502,6 +505,9 @@ class KsqlEngine:
         if q.group(4):
             window = self._parse_window(q.group(4).upper(), q.group(5))
         group_by = [g.strip() for g in self._split_csv(q.group(6))]
+        having = q.group(7)
+        if having:
+            self._having_parts(having)  # syntax-check at CREATE time
         sink = ExactlyOnceParquetSink(
             os.path.join(self.workdir, "tables", name),
             key_cols=self._key_cols(select_list, group_by, window),
@@ -510,8 +516,44 @@ class KsqlEngine:
             name=name, source=source, select=select_list, group_by=group_by,
             window=window, sink=sink,
             checkpoint=os.path.join(self.workdir, "ckpt", name),
-            with_opts=with_opts, where=where,
+            with_opts=with_opts, where=where, having=having,
         )
+
+    _AGG_CALL_RE = re.compile(r"\b(\w+)\s*\(", re.IGNORECASE)
+
+    def _having_parts(self, having: str) -> tuple[str, list[tuple[str, str]]]:
+        """Split a HAVING clause into (rewritten predicate text, hidden
+        aggregate columns). Each aggregate call in the clause is computed
+        as a hidden agg column ``_hav<i>`` and its text replaced by that
+        column reference; the rewritten text is then an ordinary scalar
+        predicate over (aliased + hidden) aggregate output."""
+        known = set(_AGG_FUNCS) | {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+        out, hidden = [], []
+        i = 0
+        while i < len(having):
+            m = self._AGG_CALL_RE.search(having, i)
+            if not m or m.group(1).upper() not in known:
+                out.append(having[i:])
+                break
+            out.append(having[i:m.start()])
+            depth, j = 1, m.end()
+            while depth and j < len(having):
+                if having[j] == "(":
+                    depth += 1
+                elif having[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise KsqlParseError(f"unbalanced parens in HAVING: {having!r}")
+            call = having[m.start():j]
+            name = f"_hav{len(hidden)}"
+            self._agg_expr(call)  # validate now
+            hidden.append((name, call))
+            out.append(name)
+            i = j
+        text = "".join(out)
+        parse_predicate(text)  # syntax check (idents may be _hav<i>)
+        return text, hidden
 
     @staticmethod
     def _parse_window(kind: str, args: str) -> dict:
@@ -609,7 +651,15 @@ class KsqlEngine:
             else:
                 aggs.append(self._agg_expr(expr).alias(alias))
                 selects.append(F.col(alias))
+        having_text = None
+        if spec.having:
+            having_text, hidden = self._having_parts(spec.having)
+            aggs.extend(self._agg_expr(call).alias(nm) for nm, call in hidden)
         agg = df.groupBy(*group_cols).agg(*aggs) if aggs else df.groupBy(*group_cols).count()
+        if having_text is not None:
+            # post-aggregation filter: references select-list aliases and/or
+            # the hidden aggregate columns; hidden cols drop in the select
+            agg = agg.filter(parse_predicate(having_text))
         if spec.window is not None and not any(
             self._alias_of(i) == "window_start" for i in spec.select
         ):

@@ -301,3 +301,28 @@ def test_pull_query_projection_and_predicate(engine):
     assert rows == [{"total": pytest.approx(3.0)}]
     rows = engine.execute("SELECT id, n FROM pt;")
     assert sorted((r["id"], r["n"]) for r in rows) == [("a", 2), ("b", 1)]
+
+
+def test_having_filters_groups(engine):
+    """HAVING over aggregate calls and select aliases: groups failing the
+    post-aggregation predicate are dropped from the materialized table."""
+    engine.execute(
+        "CREATE STREAM h (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='h', value_format='json');"
+    )
+    stmts = [f"INSERT INTO h (k, val) VALUES ('a', {v});" for v in (1.0, 2.0, 3.0)]
+    stmts += [f"INSERT INTO h (k, val) VALUES ('b', {v});" for v in (10.0,)]
+    engine.execute(" ".join(stmts))
+    engine.execute(
+        "CREATE TABLE ht AS SELECT k AS id, SUM(val) AS total "
+        "FROM h GROUP BY k HAVING COUNT(*) > 1 AND SUM(val) >= 6 EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM ht;")
+    assert [(r["id"], r["total"]) for r in rows] == [("a", 6.0)]
+    # alias reference in HAVING
+    engine.execute(
+        "CREATE TABLE ht2 AS SELECT k AS id, SUM(val) AS total "
+        "FROM h GROUP BY k HAVING total > 6;"
+    )
+    rows = engine.execute("SELECT * FROM ht2;")
+    assert [(r["id"], r["total"]) for r in rows] == [("b", 10.0)]
