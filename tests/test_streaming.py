@@ -576,3 +576,48 @@ def test_kafka_reader_plan_contract(spark):
     assert decoded.isStreaming
     assert [f.name for f in decoded.schema.fields] == ["val", "weight"]
     assert all(isinstance(f.dataType, DoubleType) for f in decoded.schema.fields)
+
+
+def test_rocksdb_state_store_provider(spark, token_df, tmp_dir):
+    """The same stateful windowed aggregation on Spark's RocksDB state
+    store provider — the backend a production deployment uses for large
+    state (HDFS-backed heap state is the default here only because test
+    state is tiny). Streaming results must equal the batch computation,
+    provider-independently. Skips if the RocksDB jni jar is absent."""
+    import pytest
+
+    src_dir = os.path.join(tmp_dir, "src")
+    token_df.repartition(4).write.parquet(src_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(TOKEN_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+        transform = lambda df: windowed_stats(
+            token_value_streams(df), value="token_mean", weight="n_tok",
+            window_size="10 minutes", watermark="2 hours",
+        )
+        sink = ExactlyOnceParquetSink(
+            os.path.join(tmp_dir, "sink_rocks"), key_cols=["window_start", "source"]
+        )
+        try:
+            q = run_streaming_stats(
+                stream, sink, os.path.join(tmp_dir, "ckpt_rocks"), transform
+            )
+            q.awaitTermination(120)
+        except Exception as e:  # pragma: no cover - environment-dependent
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        got = sink.read_current(spark).collect()
+        want = transform(spark.read.parquet(src_dir)).collect()
+        assert_stats_equal(got, want, STAT_COLS, tol=1e-6)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
