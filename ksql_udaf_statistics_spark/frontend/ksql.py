@@ -532,9 +532,15 @@ class KsqlEngine:
         i = 0
         while i < len(having):
             m = self._AGG_CALL_RE.search(having, i)
-            if not m or m.group(1).upper() not in known:
+            if not m:
                 out.append(having[i:])
                 break
+            if m.group(1).upper() not in known:
+                # not an aggregate call (e.g. a scalar fn) — emit as-is and
+                # keep scanning; later aggregate calls must still rewrite
+                out.append(having[i:m.end()])
+                i = m.end()
+                continue
             out.append(having[i:m.start()])
             depth, j = 1, m.end()
             while depth and j < len(having):
