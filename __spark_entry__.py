@@ -29,21 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
     in batch form on /root/testdata/sf0.001."""
     from pyspark.sql import functions as F
 
-    from ksql_udaf_statistics_spark.sources.tables import tokens_from_documents
+    from ksql_udaf_statistics_spark.sources.tables import (
+        token_value_streams, tokens_from_documents,
+    )
     from ksql_udaf_statistics_spark.streaming.jobs import windowed_stats
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    tok = tokens_from_documents(docs).withColumn(
-        "ts",
-        F.timestamp_seconds(
-            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.col("doc_id").cast("long") * 7
-        ),
-    ).withColumn(
-        "token_mean",
-        F.aggregate("tokens", F.lit(0.0), lambda a, x: a + x.cast("double"))
-        / F.greatest(F.col("n_tok").cast("double"), F.lit(1.0)),
+    # token_mean via the Arrow reduction kernel (token_value_streams), not
+    # an interpreted F.aggregate HOF — the no-per-row-Python hot path
+    tok = token_value_streams(
+        tokens_from_documents(docs).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.col("doc_id").cast("long") * 7
+            ),
+        )
     )
     return windowed_stats(
         tok, value="token_mean", weight="n_tok",

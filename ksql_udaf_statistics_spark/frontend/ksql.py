@@ -103,6 +103,11 @@ class TableSpec:
     with_opts: dict = field(default_factory=dict)
     where: Optional[str] = None
     having: Optional[str] = None
+    # HAVING compiled once at CREATE time: rewritten predicate text and the
+    # hidden aggregate columns it references. The predicate is evaluated at
+    # READ time (ksqlDB-table membership semantics), never per micro-batch.
+    having_text: Optional[str] = None
+    having_hidden: list = field(default_factory=list)
 
 
 class KsqlParseError(ValueError):
@@ -506,8 +511,9 @@ class KsqlEngine:
             window = self._parse_window(q.group(4).upper(), q.group(5))
         group_by = [g.strip() for g in self._split_csv(q.group(6))]
         having = q.group(7)
+        having_text, having_hidden = (None, [])
         if having:
-            self._having_parts(having)  # syntax-check at CREATE time
+            having_text, having_hidden = self._having_parts(having)
         sink = ExactlyOnceParquetSink(
             os.path.join(self.workdir, "tables", name),
             key_cols=self._key_cols(select_list, group_by, window),
@@ -517,6 +523,7 @@ class KsqlEngine:
             window=window, sink=sink,
             checkpoint=os.path.join(self.workdir, "ckpt", name),
             with_opts=with_opts, where=where, having=having,
+            having_text=having_text, having_hidden=having_hidden,
         )
 
     _AGG_CALL_RE = re.compile(r"\b(\w+)\s*\(", re.IGNORECASE)
@@ -526,37 +533,43 @@ class KsqlEngine:
         aggregate columns). Each aggregate call in the clause is computed
         as a hidden agg column ``_hav<i>`` and its text replaced by that
         column reference; the rewritten text is then an ordinary scalar
-        predicate over (aliased + hidden) aggregate output."""
+        predicate over (aliased + hidden) aggregate output.
+
+        String literals are copied verbatim (the same in-string discipline
+        as ``_split_csv``): a clause like ``HAVING label = 'SUM(x)'`` must
+        not have its literal rewritten into a hidden column reference."""
         known = set(_AGG_FUNCS) | {"COUNT", "SUM", "MIN", "MAX", "AVG"}
         out, hidden = [], []
-        i = 0
-        while i < len(having):
-            m = self._AGG_CALL_RE.search(having, i)
-            if not m:
-                out.append(having[i:])
-                break
-            if m.group(1).upper() not in known:
-                # not an aggregate call (e.g. a scalar fn) — emit as-is and
-                # keep scanning; later aggregate calls must still rewrite
-                out.append(having[i:m.end()])
-                i = m.end()
+        i, n = 0, len(having)
+        while i < n:
+            if having[i] == "'":
+                j = having.find("'", i + 1)
+                j = n if j == -1 else j + 1
+                out.append(having[i:j])
+                i = j
                 continue
-            out.append(having[i:m.start()])
-            depth, j = 1, m.end()
-            while depth and j < len(having):
-                if having[j] == "(":
-                    depth += 1
-                elif having[j] == ")":
-                    depth -= 1
-                j += 1
-            if depth:
-                raise KsqlParseError(f"unbalanced parens in HAVING: {having!r}")
-            call = having[m.start():j]
-            name = f"_hav{len(hidden)}"
-            self._agg_expr(call)  # validate now
-            hidden.append((name, call))
-            out.append(name)
-            i = j
+            m = self._AGG_CALL_RE.match(having, i)
+            if m and m.group(1).upper() in known:
+                depth, j = 1, m.end()
+                while depth and j < n:
+                    if having[j] == "(":
+                        depth += 1
+                    elif having[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise KsqlParseError(
+                        f"unbalanced parens in HAVING: {having!r}"
+                    )
+                call = having[m.start():j]
+                name = f"_hav{len(hidden)}"
+                self._agg_expr(call)  # validate now
+                hidden.append((name, call))
+                out.append(name)
+                i = j
+                continue
+            out.append(having[i])
+            i += 1
         text = "".join(out)
         parse_predicate(text)  # syntax check (idents may be _hav<i>)
         return text, hidden
@@ -657,15 +670,21 @@ class KsqlEngine:
             else:
                 aggs.append(self._agg_expr(expr).alias(alias))
                 selects.append(F.col(alias))
-        having_text = None
-        if spec.having:
-            having_text, hidden = self._having_parts(spec.having)
-            aggs.extend(self._agg_expr(call).alias(nm) for nm, call in hidden)
+        if spec.having_hidden:
+            # HAVING is NOT applied here. A per-micro-batch filter in update
+            # output mode loses non-monotone predicates: a group that passed
+            # in an earlier batch (row already in the sink) and later fails
+            # is merely absent from later emissions, so the sink keeps
+            # serving the stale passing row (ksqlDB tombstones such groups).
+            # Instead the UNFILTERED aggregate — including the hidden _hav
+            # columns — flows to the sink, and _read_table evaluates the
+            # predicate against each key's CURRENT aggregate values.
+            aggs.extend(
+                self._agg_expr(call).alias(nm)
+                for nm, call in spec.having_hidden
+            )
+            selects.extend(F.col(nm) for nm, _ in spec.having_hidden)
         agg = df.groupBy(*group_cols).agg(*aggs) if aggs else df.groupBy(*group_cols).count()
-        if having_text is not None:
-            # post-aggregation filter: references select-list aliases and/or
-            # the hidden aggregate columns; hidden cols drop in the select
-            agg = agg.filter(parse_predicate(having_text))
         if spec.window is not None and not any(
             self._alias_of(i) == "window_start" for i in spec.select
         ):
@@ -749,16 +768,26 @@ class KsqlEngine:
 
     def _read_table(self, spec: TableSpec) -> DataFrame:
         if self._needs_batch_materialization(spec):
-            return self.spark.read.parquet(
+            df = self.spark.read.parquet(
                 os.path.join(spec.sink.path, "batch_full")
             )
-        if spec.window and spec.window["kind"] == "session":
+        elif spec.window and spec.window["kind"] == "session":
             # complete output mode: every batch re-emits the whole
             # aggregate — the latest batch IS the table. latest-per-key
             # across batches would resurrect sessions merged away by a
             # later batch (r2 ADVICE finding).
-            return spec.sink.read_latest_batch(self.spark)
-        return spec.sink.read_current(self.spark)
+            df = spec.sink.read_latest_batch(self.spark)
+        else:
+            df = spec.sink.read_current(self.spark)
+        if spec.having_text is not None:
+            # table membership = the predicate over each key's CURRENT
+            # aggregate values (after latest-per-key resolution), so a
+            # group transitioning pass -> fail disappears — the read-side
+            # equivalent of ksqlDB's tombstone for groups leaving the
+            # result set. Hidden _hav columns are internal and dropped.
+            df = df.filter(parse_predicate(spec.having_text))
+            df = df.drop(*[nm for nm, _ in spec.having_hidden])
+        return df
 
     def _pull_query(self, stmt: str) -> list[dict]:
         m = re.match(

@@ -381,16 +381,24 @@ def connected_components(
     in plan analysis + job launch than the whole union-find. Above the
     bound, the distributed label-propagation loop runs (unbounded scale,
     all shuffle-side).
+
+    The size probe never recomputes the pair lineage: the pair list is
+    localCheckpoint-materialized ONCE up front (both paths need it fully
+    materialized anyway — the driver path collects it, the distributed
+    path checkpoints it before iterating), then a count() over the
+    materialized blocks decides the path. The previous
+    ``limit(N+1).collect()`` probe pulled ~80 MB to the driver only to
+    discard it and recompute the whole lineage in the distributed loop.
     """
     import warnings
 
     id_type = pairs.schema[id_a].dataType.simpleString()
-    probe = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .limit(driver_max_edges + 1)
-        .collect()
-    )
-    if len(probe) <= driver_max_edges:
+    directed = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
+    n_edges = directed.count()  # counts materialized blocks — no recompute
+    if n_edges <= driver_max_edges:
+        probe = directed.collect()
         parent: dict = {}
 
         def find(x):
@@ -419,11 +427,12 @@ def connected_components(
             rows, f"doc_id {id_type}, cluster_id {id_type}"
         )
 
-    # distributed path: recomputes the pair lineage once (persist upstream
-    # if that recompute is expensive)
+    # distributed path: symmetrize from the already-materialized edge list
+    # (no pair-lineage recompute)
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)

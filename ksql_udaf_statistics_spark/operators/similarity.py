@@ -67,6 +67,29 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_long_id(df: DataFrame, id_col: str, fn: str) -> None:
+    """Fail fast on non-integral id columns.
+
+    The Arrow hot paths (brute_force_topk, banded_signatures and its
+    lsh/near-dup consumers) emit 64-bit integer ids (``np.int64``
+    conversion + ``long`` output schema) — the narrowest shuffle payload
+    for the candidate-pair stages. A string/UUID id would otherwise fail
+    deep inside an executor-side numpy conversion; this check raises at
+    plan-build time with the fix (cast or zipWithIndex-style surrogate).
+    """
+    dtype = df.schema[id_col].dataType.simpleString()
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{fn} requires an integral id column (got {id_col!r}: {dtype}). "
+            f"Cast to long, or add a surrogate id "
+            f"(e.g. df.withColumn('{id_col}', F.xxhash64('{id_col}')) or a "
+            f"monotonically_increasing_id) before calling."
+        )
+
+
 def cosine_arrow(a, b) -> Column:
     """Arrow-vectorized row-wise cosine of two array columns (float64
     accumulation): one numpy reduction per record batch, no per-row
@@ -98,6 +121,8 @@ def brute_force_topk(
     keeps a row only if it beats < k rows under the same total order
     (cos_sim desc, id asc), so the global result equals a full sort.
     """
+    _require_long_id(corpus, id_col, "brute_force_topk")
+    _require_long_id(queries, id_col, "brute_force_topk")
     q_rows = queries.select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     out_schema = "query_id long, neighbor_id long, cos_sim double"
@@ -174,6 +199,7 @@ def banded_signatures(
     row count is at its minimum.
     """
     assert planes % bands == 0
+    _require_long_id(df, id_col, "banded_signatures")
     rows = planes // bands
     H = _plane_matrix(dim, planes, seed)
     vec_part = f", {role}_vec array<float>" if include_vec else ""
@@ -375,6 +401,8 @@ def ivf_topk(
     partitioned by cluster_id; queries then touch n_probe/n_centroids of
     the data instead of all of it. Same output schema as brute_force_topk.
     """
+    _require_long_id(corpus, id_col, "ivf_topk")
+    _require_long_id(queries, id_col, "ivf_topk")
     cent_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))

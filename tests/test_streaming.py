@@ -621,3 +621,32 @@ def test_rocksdb_state_store_provider(spark, token_df, tmp_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_sink_serves_only_committed_batches(spark, tmp_dir):
+    """A batch directory written without a ledger commit (crash between
+    data-write and ledger-commit) must be invisible to both read paths;
+    an empty ledger yields an empty table, never uncommitted data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ksql_udaf_statistics_spark.streaming.sink import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(os.path.join(tmp_dir, "t"), key_cols=["k"])
+    # simulate a crashed batch: data files exist, no ledger entry
+    (
+        spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        .withColumn("batch_id", F.lit(7))
+        .write.partitionBy("batch_id")
+        .parquet(os.path.join(tmp_dir, "t", "data"))
+    )
+    assert sink.read_latest_batch(spark).count() == 0
+    assert sink.read_current(spark).count() == 0
+    # commit batch 8 properly through the sink: only it is served
+    batch = spark.range(2).select(F.col("id").alias("k"), F.lit(2).alias("v"))
+    sink(batch, 8)
+    assert sink.read_latest_batch(spark).count() == 2
+    cur = sink.read_current(spark)
+    assert cur.count() == 2
+    assert {r["v"] for r in cur.collect()} == {2}
