@@ -258,6 +258,103 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_candidate_pairs(
+    documents: DataFrame, text_col: str = "text", n: int = 3,
+    num_hashes: int = 32, bands: int = 16, seed: int = 1,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from banded minhash
+    buckets — ids ONLY through the bucket join and the pair dedup (the
+    signature arrays never shuffle; same payload-narrowing discipline as
+    the embedding-LSH path)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig_df = minhash_signatures(documents, text_col, n, num_hashes, seed)
+    banded = sig_df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[b * rows + r].cast("string")
+                                  for r in range(rows)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def exact_jaccard_rerank(
+    documents: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over CANDIDATE pairs: the verify stage of
+    a blocked near-dup pass (precision 1 by construction; recall = the
+    blocker's recall).
+
+    Shingle-hash arrays are attached AFTER pair deduplication — at the
+    minimum row count — and the Jaccard is pure JVM array algebra
+    (``array_intersect``/``size``), no Python, no re-shuffle of the
+    corpus. Identical values to the inverted-index Jaccard
+    (:func:`jaccard_pairs`) because both operate on the same distinct
+    shingle-hash sets.
+    """
+    sh = ensure_parallelism(documents).select(
+        "doc_id", word_shingle_hashes(text_col, n).alias("_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = inter / (F.size("_sha") + F.size("_shb") - inter)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_verified(
+    documents: DataFrame, text_col: str = "text", n: int = 3,
+    num_hashes: int = 32, bands: int = 16, seed: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH blocking + EXACT Jaccard verification — the
+    oracle-able form of the minhash path: with (num_hashes, bands) at
+    measured recall 1 for the target threshold, the output EQUALS the
+    exact all-pairs Jaccard result, so a DuckDB all-pairs oracle
+    hash-verifies the whole pipeline (signatures, banding, bucket join,
+    pair dedup, re-rank).
+
+    Default (32, 16) = 2 rows/band: collision probability for a true
+    J>=0.9 pair is 1-(1-0.81)^16 ~ 1-2e-12; measured recall 1.0 on the
+    driver corpora at sf0.001 and sf0.01. Production runs trade
+    verification cost back for estimated-Jaccard filtering via
+    :func:`minhash_lsh_pairs`.
+    """
+    cands = minhash_candidate_pairs(documents, text_col, n, num_hashes, bands, seed)
+    return exact_jaccard_rerank(documents, cands, text_col, n, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -339,6 +436,55 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_candidate_pairs(
+    documents: DataFrame, text_col: str = "text", bands: int = 8,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from simhash chunk
+    banding, ids only (signatures don't ride the shuffle). By pigeonhole,
+    recall is 1 for any pair with Hamming distance < ``bands``."""
+    sig = simhash_signatures(documents, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "bc.band", "bc.chunk")
+    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_pairs_verified(
+    documents: DataFrame, text_col: str = "text", bands: int = 8,
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """SimHash blocking + EXACT Jaccard verification — the oracle-able
+    form of the simhash path: with ``bands=8`` (8-bit chunks) the
+    pigeonhole bound guarantees recall 1 for Hamming <= 7, and measured
+    recall against exact all-pairs Jaccard >= 0.5 is 1.0 on the driver
+    corpora at sf0.001 and sf0.01 — so the output EQUALS the all-pairs
+    Jaccard result and a DuckDB oracle hash-verifies the whole path
+    (signature bit algebra, chunk banding, bucket join, re-rank)."""
+    cands = simhash_candidate_pairs(documents, text_col, bands)
+    return exact_jaccard_rerank(documents, cands, text_col, n, threshold)
 
 
 # ---------------------------------------------------------------------------

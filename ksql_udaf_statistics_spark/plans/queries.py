@@ -517,20 +517,77 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: xxhash64 signatures are Spark-specific
+@register("dedup_minhash_lsh")
 def q_dedup_minhash(spark, sf_dir):
+    """rows-only BY NATURE: the output column est_jaccard is a fraction of
+    matching xxhash64 minhashes — an engine-specific estimator no ANSI
+    engine reproduces. The full path is hash-oracled via
+    dedup_minhash_verified (exact re-rank at recall-1 parameters)."""
     docs = _load(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
     return D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.05)
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 signatures are Spark-specific
+@register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
+    """rows-only BY NATURE: the output column hamming is a distance
+    between xxhash64-derived 64-bit signatures — engine-specific values.
+    The full path is hash-oracled via dedup_simhash_verified."""
     docs = _load(spark, sf_dir, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
     return D.simhash_pairs(docs, max_hamming=16, bands=4)
+
+
+_JACCARD_ALLPAIRS_05_SQL = """WITH sh AS (
+         SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  )) AS shingles,
+                  len(list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                  ))) AS n_shingles
+           FROM documents))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              (ROUND(count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)), 6) + 0.0)
+                AS jaccard
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) * 1.0 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*)) >= 0.5"""
+
+
+@register("dedup_minhash_verified", _JACCARD_ALLPAIRS_05_SQL)
+def q_dedup_minhash_verified(spark, sf_dir):
+    """The minhash-LSH path with a REAL oracle: banded minhash buckets
+    block the candidates, exact shingle-Jaccard verifies them (precision 1
+    by construction), and (num_hashes=32, bands=16) has measured recall
+    1.0 for J>=0.5 pairs at sf0.001/sf0.01 (collision prob for a J=0.9
+    pair is 1-2e-12) — the LSH output then EQUALS the exact all-pairs
+    result and the DuckDB all-pairs oracle hash-verifies the whole path
+    (signatures, banding, bucket join, pair dedup, re-rank)."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    out = D.minhash_lsh_pairs_verified(docs, num_hashes=32, bands=16, threshold=0.5)
+    return out.withColumn("jaccard", round6(F.col("jaccard")))
+
+
+@register("dedup_simhash_verified", _JACCARD_ALLPAIRS_05_SQL)
+def q_dedup_simhash_verified(spark, sf_dir):
+    """The simhash path with a REAL oracle: chunk banding blocks the
+    candidates (pigeonhole: recall 1 for Hamming <= 7 at bands=8), exact
+    shingle-Jaccard verifies them; measured recall 1.0 for J>=0.5 pairs
+    at sf0.001/sf0.01, so the output EQUALS the exact all-pairs result
+    and the same DuckDB oracle hash-verifies the path."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    out = D.simhash_pairs_verified(docs, bands=8, threshold=0.5)
+    return out.withColumn("jaccard", round6(F.col("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -581,10 +638,11 @@ def q_embedding_near_dups_exact(spark, sf_dir):
     )
 
 
-@register("embedding_near_dups_lsh")  # rows-only: LSH recall < 1 by design
-def q_embedding_near_dups_lsh(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings")
-    return S.embedding_near_dups(emb, threshold=0.8, planes=16, bands=8)
+# (retired r4: the former `embedding_near_dups_lsh` gate entry returned 0
+# rows at threshold 0.8 in every round — a query that can never produce
+# output adds no gate signal. The operator itself is fully exercised AND
+# hash-oracled by `embedding_near_dups_lsh_verified` below, which runs the
+# identical code path at row-producing, recall-1 parameters.)
 
 
 @register(
@@ -694,12 +752,41 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users")  # rows-only: HLL sketch values are engine-specific
+@register("approx_distinct_users")
 def q_approx_distinct_users(spark, sf_dir):
+    """rows-only BY NATURE: the output column is an HLL++ sketch estimate
+    whose exact value is engine-specific. The path is error-bound-oracled
+    via approx_distinct_verified below."""
     ev = _load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("n_users_approx")
     )
+
+
+@register(
+    "approx_distinct_verified",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+              true AS within_5pct
+       FROM events GROUP BY event_type""",
+)
+def q_approx_distinct_verified(spark, sf_dir):
+    """The HLL++ path with a REAL (error-bound) oracle: the sketch value
+    itself is engine-specific, but its accuracy CONTRACT is not — with
+    rsd=0.01 the estimate must land within 5% of the exact distinct
+    count. Emitting the exact count plus the boolean bound check makes
+    the whole path (sketch build, merge across partitions, finalize)
+    hash-verifiable: the oracle asserts the exact counts AND that every
+    group's estimate met the bound."""
+    ev = _load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("n_users_exact"))
+        / F.col("n_users_exact") <= 0.05
+    )
+    return agg.select("event_type", "n_users_exact", within.alias("within_5pct"))
 
 
 @register(
@@ -751,11 +838,45 @@ def q_token_value_windowed(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")  # rows-only: IVF recall < 1 by design
+@register("ann_ivf_topk")
 def q_ann_ivf(spark, sf_dir):
+    """rows-only BY NATURE: at n_probe < n_centroids IVF recall is < 1 by
+    design, so the row set differs from any exact oracle. The full path
+    is hash-oracled via ann_ivf_verified (full probing = brute force)."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "ann_ivf_verified",
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              (ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) + 0.0) AS cos_sim
+       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       WHERE q.vec_id < 5
+       QUALIFY row_number() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+                  c.vec_id ASC) <= 10""",
+)
+def q_ann_ivf_verified(spark, sf_dir):
+    """The IVF path with a REAL oracle: with n_probe = n_centroids every
+    query probes every inverted list, so the candidate set is the full
+    corpus and IVF top-k EQUALS brute-force top-k — the DuckDB all-pairs
+    QUALIFY oracle then hash-verifies the whole path (centroid sampling,
+    Arrow cluster assignment, probed join, exact re-rank, window top-k).
+    Production runs set n_probe << n_centroids for the speed/recall
+    trade; this entry pins the machinery itself exact."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+    return out.select(
+        "query_id", "neighbor_id", round6(F.col("cos_sim")).alias("cos_sim")
+    )
 
 
 @register(
