@@ -1212,6 +1212,46 @@ def q_multimodal_feature_stats(spark, sf_dir):
 
 
 @register(
+    "wav_audio_stats",
+    """WITH s AS (
+         SELECT source, CAST(doc_id AS BIGINT) AS d,
+                50 + CAST(doc_id AS BIGINT) % 50 AS n
+         FROM documents),
+       samp AS (
+         SELECT source, d, unnest(generate_series(0, n - 1)) AS i FROM s),
+       v AS (
+         SELECT source, d, (d*31 + i*7) % 65536 - 32768 AS amp FROM samp)
+       SELECT source, count(DISTINCT d) AS n_clips,
+              count(*) AS total_samples,
+              (ROUND(sum(amp) * 1.0 / count(*), 6) + 0.0) AS mean_amplitude,
+              CAST(max(amp) AS BIGINT) AS max_amplitude
+       FROM v GROUP BY source""",
+)
+def q_wav_audio_stats(spark, sf_dir):
+    """Drives the REAL audio decode path end-to-end: deterministic
+    RIFF/WAVE 16-bit PCM payloads are synthesized per document
+    (operators/multimodal.py::synthesize_wav_media), decoded by the
+    pure-numpy WAV parser (decode_wav — an actual container parse, not a
+    stand-in), and aggregated per source. The sample values follow a
+    closed form the DuckDB oracle recomputes from first principles, so a
+    hash match proves header writing, chunk walking, int16 extraction and
+    the Arrow aggregation all agree. Integer sums keep the one final
+    division bit-identical across engines."""
+    from ..operators import multimodal as M
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    stats = M.audio_stats(M.synthesize_wav_media(docs))
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_samples").alias("total_samples"),
+        round6(F.sum("amp_sum") / F.sum("n_samples")).alias("mean_amplitude"),
+        F.max("amp_max").alias("max_amplitude"),
+    )
+
+
+@register(
     "token_arrow_stats",
     """WITH tok AS (
          SELECT source,
