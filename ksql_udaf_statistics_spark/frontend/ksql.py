@@ -23,10 +23,24 @@ unchanged:
   select list (README.md:166).
 - ``INSERT INTO name (cols) VALUES (...);`` — multiple statements per
   call, as the IT sends them (AllUdafIT.java:623-630).
-- pull queries ``SELECT * FROM table [WHERE col = lit]``
+- pull queries ``SELECT cols|* FROM table [WHERE pred] [LIMIT n]``
   (AllUdafIT.java:655) against the materialized state, NaN returned as
   None per the JSON convention.
 - ``SHOW FUNCTIONS`` — the registered UDAF surface.
+
+Beyond the reference's own statements, the dialect covers the host
+capabilities a ksqlDB user reaches next (r3/r4 additions):
+
+- scalar arithmetic + WHERE on CTAS streams; HAVING with hidden
+  aggregate columns, evaluated at READ time against current aggregate
+  values (table-membership semantics — non-monotone predicates drop
+  groups that later fail, like ksqlDB's tombstones);
+- stream-table joins ``FROM s [LEFT] JOIN t ON s.k = t.k`` — each stream
+  record enriched against the table's state at processing time (the
+  ksqlDB join model), compiled to a stream-static broadcast join;
+- ``WINDOW ... (..., GRACE PERIOD n UNIT)`` + ``EMIT FINAL`` — append
+  output mode with the grace period as the event-time watermark: each
+  window emits exactly once, when it closes.
 
 UDAF dispatch matches the reference's SQL names and init-args:
 ``SKEWNESS(col[, true])`` / ``KURTOSIS(col[, true])`` (isSample
@@ -108,6 +122,12 @@ class TableSpec:
     # READ time (ksqlDB-table membership semantics), never per micro-batch.
     having_text: Optional[str] = None
     having_hidden: list = field(default_factory=list)
+    # stream-table join: {"table": name, "kind": "inner"|"left",
+    # "left_col": stream key, "right_col": table key}
+    join: Optional[dict] = None
+    # EMIT CHANGES (update mode, default) vs EMIT FINAL (append mode:
+    # windows emit once, on close — requires a window + watermark/grace)
+    emit: str = "changes"
 
 
 class KsqlParseError(ValueError):
@@ -126,7 +146,7 @@ class KsqlParseError(ValueError):
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'[^']*')"
-    r"|(?P<ident>\w+)"
+    r"|(?P<ident>[A-Za-z_]\w*(?:\.\w+)?)"
     r"|(?P<op><>|!=|<=|>=|[-+*/()<>=]))"
 )
 
@@ -196,8 +216,11 @@ class _ExprParser:
             return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
         if t.upper() in ("TRUE", "FALSE"):
             return F.lit(t.upper() == "TRUE")
-        if re.fullmatch(r"\w+", t):
-            return F.col(t.lower())
+        if re.fullmatch(r"[A-Za-z_]\w*(?:\.\w+)?", t):
+            # alias-qualified names (s.val) resolve by base name: after the
+            # stream-table join both sides' columns are present unqualified
+            # (the duplicate join key is dropped), so the suffix is unique
+            return F.col(t.split(".")[-1].lower())
         raise KsqlParseError(f"unexpected token {t!r}")
 
     # predicates --------------------------------------------------------------
@@ -488,13 +511,18 @@ class KsqlEngine:
         name = m.group(1).lower()
         with_opts = _parse_with(m.group(2) or "")
         sel = m.group(3)
+        _KW = r"JOIN|LEFT|WHERE|WINDOW|GROUP|EMIT|HAVING|ON"
         q = re.match(
-            r"SELECT\s+(.*?)\s+FROM\s+(\w+)\s*"
+            r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?\s*"
+            r"(?:(LEFT\s+(?:OUTER\s+)?)?JOIN\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?"
+            r"\s+ON\s+(.*?)\s+)?"
             r"(?:WHERE\s+(.*?)\s*)?"
             r"(?:WINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\((.*?)\)\s*)?"
             r"GROUP\s+BY\s+(.*?)\s*"
             r"(?:HAVING\s+(.*?)\s*)?"
-            r"(?:EMIT\s+CHANGES)?\s*$",
+            r"(?:EMIT\s+(CHANGES|FINAL))?\s*$",
             sel, re.IGNORECASE | re.DOTALL,
         )
         if not q:
@@ -503,14 +531,30 @@ class KsqlEngine:
         source = q.group(2).lower()
         if source not in self.streams:
             raise KsqlParseError(f"unknown stream {source!r}")
-        where = q.group(3)
+        join = None
+        if q.group(5):
+            join = self._parse_join(
+                source_alias=(q.group(3) or source).lower(),
+                kind="left" if q.group(4) else "inner",
+                table=q.group(5).lower(),
+                table_alias=(q.group(6) or q.group(5)).lower(),
+                on=q.group(7),
+            )
+        where = q.group(8)
         if where:
             parse_predicate(where)  # fail at CREATE time, not first refresh
         window = None
-        if q.group(4):
-            window = self._parse_window(q.group(4).upper(), q.group(5))
-        group_by = [g.strip() for g in self._split_csv(q.group(6))]
-        having = q.group(7)
+        if q.group(9):
+            window = self._parse_window(q.group(9).upper(), q.group(10))
+        group_by = [g.strip() for g in self._split_csv(q.group(11))]
+        having = q.group(12)
+        emit = (q.group(13) or "changes").lower()
+        if emit == "final" and window is None:
+            raise KsqlParseError(
+                "EMIT FINAL requires a WINDOW clause (per-window emission "
+                "on close); non-windowed tables are continuous — use EMIT "
+                "CHANGES"
+            )
         having_text, having_hidden = (None, [])
         if having:
             having_text, having_hidden = self._having_parts(having)
@@ -524,7 +568,49 @@ class KsqlEngine:
             checkpoint=os.path.join(self.workdir, "ckpt", name),
             with_opts=with_opts, where=where, having=having,
             having_text=having_text, having_hidden=having_hidden,
+            join=join, emit=emit,
         )
+
+    def _parse_join(self, source_alias: str, kind: str, table: str,
+                    table_alias: str, on: str) -> dict:
+        """Stream-table join clause: ``[LEFT] JOIN t [alias] ON a.k = b.k``.
+
+        ksqlDB's core enrichment shape (stream rows joined against the
+        TABLE'S STATE at processing time). The right side must be a
+        ksql table materialized by this engine; the equi-join key is
+        resolved by alias when qualified, else by first = stream side.
+        """
+        if table not in self.tables:
+            raise KsqlParseError(
+                f"JOIN right side {table!r} is not a known table — "
+                f"stream-stream joins need a windowed join (not yet in the "
+                f"dialect; use the interval_join operator directly)"
+            )
+        m = re.match(
+            r"\s*(\w+(?:\.\w+)?)\s*=\s*(\w+(?:\.\w+)?)\s*$", on
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse JOIN ON condition {on!r}")
+        sides = {}
+        for raw in (m.group(1), m.group(2)):
+            parts = raw.lower().split(".")
+            if len(parts) == 2:
+                qual, col = parts
+                if qual == source_alias:
+                    sides["left"] = col
+                elif qual == table_alias:
+                    sides["right"] = col
+                else:
+                    raise KsqlParseError(
+                        f"unknown qualifier {qual!r} in JOIN ON {on!r}"
+                    )
+            else:
+                # unqualified: first name is the stream side, second the table
+                sides["left" if "left" not in sides else "right"] = parts[0]
+        if "left" not in sides or "right" not in sides:
+            raise KsqlParseError(f"JOIN ON must reference both sides: {on!r}")
+        return {"table": table, "kind": kind,
+                "left_col": sides["left"], "right_col": sides["right"]}
 
     _AGG_CALL_RE = re.compile(r"\b(\w+)\s*\(", re.IGNORECASE)
 
@@ -576,25 +662,39 @@ class KsqlEngine:
 
     @staticmethod
     def _parse_window(kind: str, args: str) -> dict:
+        # optional trailing ksqlDB grace clause on any window kind: the
+        # lateness bound that becomes the Structured Streaming watermark
+        # (EMIT FINAL emits a window once the watermark passes end+grace)
+        grace = None
+        g = re.search(r",\s*GRACE\s+PERIOD\s+(\d+)\s+(\w+)\s*$", args,
+                      re.IGNORECASE)
+        if g:
+            grace = _duration(g.group(1), g.group(2))
+            args = args[:g.start()]
+        out: dict
         if kind == "TUMBLING":
             m = re.match(r"\s*SIZE\s+(\d+)\s+(\w+)\s*$", args, re.IGNORECASE)
             if not m:
                 raise KsqlParseError(f"bad TUMBLING args {args!r}")
-            return {"kind": "tumbling", "size": _duration(m.group(1), m.group(2))}
-        if kind == "HOPPING":
+            out = {"kind": "tumbling", "size": _duration(m.group(1), m.group(2))}
+        elif kind == "HOPPING":
             m = re.match(
                 r"\s*SIZE\s+(\d+)\s+(\w+)\s*,\s*ADVANCE\s+BY\s+(\d+)\s+(\w+)\s*$",
                 args, re.IGNORECASE,
             )
             if not m:
                 raise KsqlParseError(f"bad HOPPING args {args!r}")
-            return {"kind": "hopping",
-                    "size": _duration(m.group(1), m.group(2)),
-                    "advance": _duration(m.group(3), m.group(4))}
-        m = re.match(r"\s*(\d+)\s+(\w+)\s*$", args, re.IGNORECASE)
-        if not m:
-            raise KsqlParseError(f"bad SESSION args {args!r}")
-        return {"kind": "session", "gap": _duration(m.group(1), m.group(2))}
+            out = {"kind": "hopping",
+                   "size": _duration(m.group(1), m.group(2)),
+                   "advance": _duration(m.group(3), m.group(4))}
+        else:
+            m = re.match(r"\s*(\d+)\s+(\w+)\s*$", args, re.IGNORECASE)
+            if not m:
+                raise KsqlParseError(f"bad SESSION args {args!r}")
+            out = {"kind": "session", "gap": _duration(m.group(1), m.group(2))}
+        if grace is not None:
+            out["grace"] = grace
+        return out
 
     def _key_cols(self, select_list, group_by, window) -> list[str]:
         keys = []
@@ -637,10 +737,32 @@ class KsqlEngine:
     def _build_agg(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         stream_spec = self.streams[spec.source]
         ts = stream_spec.ts_col
+        if spec.join is not None:
+            # ksqlDB stream-table join semantics: each stream record joins
+            # against the table's state AT PROCESSING TIME (later table
+            # updates do not retro-update already-processed records —
+            # exactly what the checkpointed incremental refresh gives us).
+            # The right side is the materialized aggregate: tiny, so it is
+            # broadcast — a stream-static broadcast join, no state store.
+            right = self._read_table(self.tables[spec.join["table"]])
+            lcol, rcol = spec.join["left_col"], spec.join["right_col"]
+            if lcol == rcol:
+                df = df.join(F.broadcast(right), on=lcol,
+                             how=spec.join["kind"])
+            else:
+                right = right.withColumnRenamed(rcol, lcol)
+                df = df.join(F.broadcast(right), on=lcol,
+                             how=spec.join["kind"])
         if spec.where:
-            # the stream-side predicate (pushed below the aggregation, so
-            # Catalyst can prune files/rows before any state is touched)
+            # the predicate over the (joined) stream row — pushed below the
+            # aggregation, and below the join where only left columns are
+            # referenced, by Catalyst
             df = df.filter(parse_predicate(spec.where))
+        if spec.emit == "final":
+            # EMIT FINAL: append output mode requires a watermark; the
+            # window's GRACE PERIOD is the lateness bound (default 0 —
+            # windows close as soon as event time passes them)
+            df = df.withWatermark(ts, spec.window.get("grace", "0 seconds"))
         group_cols: list[Column] = []
         key_aliases: list[tuple[str, Column]] = []
         window_col = None
@@ -730,6 +852,11 @@ class KsqlEngine:
         analogue of ksqlDB's continuous EMIT CHANGES query; each call
         resumes incrementally, reprocessing nothing)."""
         spec = self.tables[table]
+        if spec.join is not None:
+            # bring the join table up to date first, so this refresh joins
+            # against its current state (ksqlDB keeps both continuously
+            # maintained; availableNow refreshes in dependency order)
+            self.refresh(spec.join["table"])
         if self._needs_batch_materialization(spec):
             # Session windows grouped ONLY by literals constant-fold to a
             # "global session aggregation", which Structured Streaming
@@ -748,9 +875,15 @@ class KsqlEngine:
         # session windows can merge previously-emitted windows, so Spark
         # forbids update mode for them; complete mode re-emits the whole
         # (small, windows x keys) aggregate each batch and the sink's
-        # latest-per-key read keeps pull queries consistent
-        mode = ("complete" if spec.window and spec.window["kind"] == "session"
-                else "update")
+        # latest-per-key read keeps pull queries consistent. EMIT FINAL
+        # uses append: a window's single row is emitted only when the
+        # watermark closes it.
+        if spec.emit == "final":
+            mode = "append"
+        elif spec.window and spec.window["kind"] == "session":
+            mode = "complete"
+        else:
+            mode = "update"
         q = run_streaming_stats(
             stream, spec.sink, spec.checkpoint,
             lambda df: self._build_agg(spec, df),
@@ -792,7 +925,8 @@ class KsqlEngine:
     def _pull_query(self, stmt: str) -> list[dict]:
         m = re.match(
             r"SELECT\s+(\*|[\w\s,]+?)\s+FROM\s+(\w+)\s*"
-            r"(?:WHERE\s+(.+?))?\s*$",
+            r"(?:WHERE\s+(.+?))?\s*"
+            r"(?:LIMIT\s+(\d+))?\s*$",
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -807,6 +941,10 @@ class KsqlEngine:
             df = df.filter(parse_predicate(m.group(3)))
         if m.group(1).strip() != "*":
             df = df.select(*[c.strip().lower() for c in m.group(1).split(",")])
+        if m.group(4):
+            # ksqlDB pull-query LIMIT: cap the rows returned (compiles to a
+            # Spark limit — CollectLimit, no full materialization)
+            df = df.limit(int(m.group(4)))
         rows = []
         for r in df.collect():
             d = r.asDict()

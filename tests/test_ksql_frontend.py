@@ -370,3 +370,136 @@ def test_having_string_literal_not_rewritten(engine):
     )
     rows = engine.execute("SELECT * FROM s2t;")
     assert [(r["label"], r["total"]) for r in rows] == [("SUM(x)", 1.0)]
+
+
+def test_stream_table_join(engine):
+    """ksqlDB stream-table join: stream records enriched against a CTAS
+    table's current state, verified against a hand-computed twin."""
+    engine.execute(
+        "CREATE STREAM orders_s (cust VARCHAR, amount DOUBLE) "
+        "WITH (kafka_topic='orders_s', value_format='json');"
+    )
+    for cust, amount in [("a", 10.0), ("a", 5.0), ("b", 7.0)]:
+        engine.execute(
+            f"INSERT INTO orders_s (cust, amount) VALUES ('{cust}', {amount});"
+        )
+    engine.execute(
+        "CREATE TABLE cust_totals AS SELECT cust AS cust, SUM(amount) AS total "
+        "FROM orders_s GROUP BY cust EMIT CHANGES;"
+    )
+    engine.execute(
+        "CREATE STREAM clicks (cust VARCHAR, v DOUBLE) "
+        "WITH (kafka_topic='clicks', value_format='json');"
+    )
+    for cust, v in [("a", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0)]:
+        engine.execute(f"INSERT INTO clicks (cust, v) VALUES ('{cust}', {v});")
+    engine.execute(
+        "CREATE TABLE enriched AS "
+        "SELECT e.cust AS cust, COUNT(*) AS n, SUM(v + total) AS s "
+        "FROM clicks e JOIN cust_totals t ON e.cust = t.cust "
+        "GROUP BY e.cust EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM enriched;")
+    # inner join: cust 'c' has no table row and drops out
+    got = {r["cust"]: (r["n"], r["s"]) for r in rows}
+    assert got == {"a": (2, 1.0 + 15.0 + 2.0 + 15.0), "b": (1, 3.0 + 7.0)}
+    # LEFT JOIN keeps 'c' (null table side -> SUM skips the null addend)
+    engine.execute(
+        "CREATE TABLE enriched_l AS "
+        "SELECT e.cust AS cust, COUNT(*) AS n "
+        "FROM clicks e LEFT JOIN cust_totals t ON e.cust = t.cust "
+        "GROUP BY e.cust EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM enriched_l;")
+    assert {r["cust"]: r["n"] for r in rows} == {"a": 2, "b": 1, "c": 1}
+
+
+def test_stream_table_join_sees_updated_state(engine):
+    """New stream rows processed after the table advanced join against the
+    CURRENT table state (processing-time semantics), while already-
+    processed rows keep their old enrichment."""
+    engine.execute(
+        "CREATE STREAM src (k VARCHAR, x DOUBLE) "
+        "WITH (kafka_topic='src', value_format='json');"
+    )
+    engine.execute("INSERT INTO src (k, x) VALUES ('a', 1.0);")
+    engine.execute(
+        "CREATE TABLE t1 AS SELECT k AS k, SUM(x) AS sx FROM src GROUP BY k;"
+    )
+    engine.execute(
+        "CREATE STREAM probe (k VARCHAR) "
+        "WITH (kafka_topic='probe', value_format='json');"
+    )
+    engine.execute("INSERT INTO probe (k) VALUES ('a');")
+    engine.execute(
+        "CREATE TABLE joined AS SELECT p.k AS k, MAX(sx) AS seen "
+        "FROM probe p JOIN t1 ON p.k = t1.k GROUP BY p.k;"
+    )
+    assert engine.execute("SELECT * FROM joined;") == [{"k": "a", "seen": 1.0}]
+    # advance the table, then send another probe row: it must see sx=3
+    engine.execute("INSERT INTO src (k, x) VALUES ('a', 2.0);")
+    engine.execute("INSERT INTO probe (k) VALUES ('a');")
+    assert engine.execute("SELECT * FROM joined;") == [{"k": "a", "seen": 3.0}]
+
+
+def test_emit_final_append_on_close(engine):
+    """EMIT FINAL: a window's row appears only once the watermark (event
+    time - grace) passes its end — open windows are withheld."""
+    engine.execute(
+        "CREATE STREAM ef (k VARCHAR, val DOUBLE, ts TIMESTAMP) "
+        "WITH (kafka_topic='ef', value_format='json', timestamp='ts');"
+    )
+    for minute, v in [(0, 1.0), (0, 3.0), (1, 5.0)]:
+        engine.execute(
+            f"INSERT INTO ef (k, val, ts) VALUES "
+            f"('a', {v}, '2024-01-01 00:0{minute}:30');"
+        )
+    engine.execute(
+        "CREATE TABLE eft AS SELECT k AS k, SUM(val) AS total "
+        "FROM ef WINDOW TUMBLING (SIZE 1 MINUTE, GRACE PERIOD 0 SECONDS) "
+        "GROUP BY k EMIT FINAL;"
+    )
+    rows = engine.execute("SELECT * FROM eft;")
+    # watermark = max event time seen = 00:01:30: window [00:00, 00:01) is
+    # closed and FINAL; [00:01, 00:02) is still open and withheld
+    assert [(str(r["window_start"]), r["total"]) for r in rows] == [
+        ("2024-01-01 00:00:00", 4.0)
+    ]
+    # an event at 00:03 advances the watermark past the second window
+    engine.execute(
+        "INSERT INTO ef (k, val, ts) VALUES ('a', 9.0, '2024-01-01 00:03:00');"
+    )
+    rows = engine.execute("SELECT * FROM eft;")
+    got = {str(r["window_start"]): r["total"] for r in rows}
+    assert got["2024-01-01 00:01:00"] == 5.0
+    assert got["2024-01-01 00:00:00"] == 4.0
+
+
+def test_emit_final_requires_window(engine):
+    engine.execute(
+        "CREATE STREAM nf (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='nf', value_format='json');"
+    )
+    with pytest.raises(Exception, match="EMIT FINAL requires"):
+        engine.execute(
+            "CREATE TABLE nft AS SELECT k AS k, SUM(val) AS s "
+            "FROM nf GROUP BY k EMIT FINAL;"
+        )
+
+
+def test_pull_query_limit(engine):
+    engine.execute(
+        "CREATE STREAM pl (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='pl', value_format='json');"
+    )
+    for i in range(5):
+        engine.execute(f"INSERT INTO pl (k, val) VALUES ('k{i}', {float(i)});")
+    engine.execute(
+        "CREATE TABLE plt AS SELECT k AS k, SUM(val) AS total "
+        "FROM pl GROUP BY k EMIT CHANGES;"
+    )
+    assert len(engine.execute("SELECT * FROM plt;")) == 5
+    assert len(engine.execute("SELECT * FROM plt LIMIT 3;")) == 3
+    rows = engine.execute("SELECT k, total FROM plt WHERE total >= 2 LIMIT 2;")
+    assert len(rows) == 2
+    assert all(r["total"] >= 2 for r in rows)
