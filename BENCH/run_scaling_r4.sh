@@ -66,8 +66,9 @@ done
 
 python BENCH/hw_ceiling.py 4 16 > BENCH/hw_ceiling.json
 python - <<'EOF'
-import json
+import json, datetime
 d = json.load(open("BENCH/hw_ceiling.json"))
+d["measured_at"] = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%MZ")
 with open("BENCH/hw_ceiling_snapshots.jsonl", "a") as f:
     f.write(json.dumps(d) + "\n")
 EOF

@@ -107,6 +107,10 @@ class ExactlyOnceParquetSink:
         committed = [e["batch_id"] for e in self.committed_batches()]
         if not committed:
             return df.filter(F.lit(False)).drop("batch_id")
+        # exact ledger intersection: only directories with a ledger entry
+        # are served (a crashed batch's directory is invisible whatever its
+        # id). Large committed lists compile to an InSet over the batch_id
+        # partition column — still partition-pruned, O(1) per-row
         df = df.filter(F.col("batch_id").isin(committed))
         w = Window.partitionBy(*self.key_cols).orderBy(F.col("batch_id").desc())
         return (
