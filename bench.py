@@ -34,7 +34,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # micro-batch fixed overhead, or parallelism can't show (scaling efficiency
 # collapses on overhead-bound workloads)
 N_SEQ = int(os.environ.get("SPARK_GRAFT_BENCH_SEQUENCES", "4000000"))
-# shared pre-generated source: both scaling runs must read IDENTICAL files
+# shared pre-generated source: both scaling runs must read IDENTICAL files.
+# Default is a stable per-size cache path (not the per-run tempdir) so the
+# deterministic corpus is synthesized once per (machine, size) and every
+# later bench run skips straight to streaming — the corpus is a pure
+# function of (seed, n), so reuse is exact.
 STREAM_SRC = os.environ.get("SPARK_GRAFT_STREAM_SRC", "")
 # fixed file layout independent of CPUS so local[8] and local[32] stream
 # the same micro-batch boundaries
@@ -172,7 +176,7 @@ def bench_streaming(spark) -> dict:
     from pyspark.sql import functions as F
 
     work = tempfile.mkdtemp(prefix="kuss_bench_")
-    src = STREAM_SRC or os.path.join(work, "src")
+    src = STREAM_SRC or f"{tempfile.gettempdir()}/kuss_stream_src_{N_SEQ}"
     try:
         prepare_stream_source(spark, src)
         schema = spark.read.parquet(src).schema
