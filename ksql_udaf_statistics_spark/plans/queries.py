@@ -1293,6 +1293,86 @@ def q_token_arrow_stats(spark, sf_dir):
 
 
 @register(
+    "bpe_pair_topk",
+    """WITH tok AS (
+         SELECT source,
+                list_transform(string_split(text, ' '), w -> length(w)) AS t
+         FROM documents),
+       pairs AS (
+         SELECT source,
+                unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+         FROM tok),
+       c AS (
+         SELECT source, CAST(p[1] AS BIGINT) AS tok_a,
+                CAST(p[2] AS BIGINT) AS tok_b, count(*) AS n
+         FROM pairs GROUP BY 1, 2, 3)
+       SELECT source, tok_a, tok_b, n, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT source, tok_a, tok_b, n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok_a ASC, tok_b ASC) AS rnk
+         FROM c)
+       WHERE rnk <= 5""",
+)
+def q_bpe_pair_topk(spark, sf_dir):
+    """BPE/WordPiece merge-candidate counting: the most frequent adjacent
+    token pairs per source (functions/token_ops.py::adjacent_token_pairs —
+    builtin slice+arrays_zip, no lambda HOFs). The tokenizer-training
+    inner loop at corpus scale: explode is map-side-only (pairs collapse
+    in the partial aggregation before the shuffle), and the rank filter
+    compiles to WindowGroupLimit, so no global sort of the pair-frequency
+    table ever happens."""
+    from ..functions.token_ops import adjacent_token_pairs
+
+    docs = tokens_from_documents(_load(spark, sf_dir, "documents"))
+    pairs = adjacent_token_pairs(docs, keep=["source"])
+    counts = (
+        pairs.withColumn("tok_a", F.col("tok_a").cast("long"))
+        .withColumn("tok_b", F.col("tok_b").cast("long"))
+        .groupBy("source", "tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "tok_a", "tok_b", "n", "rnk")
+    )
+
+
+@register(
+    "vocab_stats",
+    """WITH w AS (
+         SELECT source, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+       SELECT source,
+              count(DISTINCT word) AS n_vocab,
+              count(*) AS n_tokens,
+              (ROUND(count(*) * 1.0 / count(DISTINCT word), 6) + 0.0)
+                AS tokens_per_type
+       FROM w GROUP BY source""",
+)
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary statistics (type count, token count,
+    type-token ratio) — the corpus-composition summary every tokenizer /
+    data-mix decision starts from. One explode + hash aggregation with
+    map-side partial distinct; at 100 TB the shuffle carries (source,
+    word) partials, not the token stream."""
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return words.groupBy("source").agg(
+        F.countDistinct("word").alias("n_vocab"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        round6(
+            F.count(F.lit(1)) / F.countDistinct("word")
+        ).alias("tokens_per_type"),
+    )
+
+
+@register(
     "lang_id_counts",
     f"""WITH l AS (
          SELECT source,

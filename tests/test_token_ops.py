@@ -41,3 +41,23 @@ def test_arrow_empty_and_single_arrays(spark):
     # empty array: NaN crosses the Arrow boundary as null, matching the
     # HOF path where array_max([]) is null
     assert out["a"]["token_max"] is None
+
+
+def test_adjacent_token_pairs(spark):
+    """BPE pair primitive: adjacency, single-token rows yield no pairs,
+    and the plan stays free of interpreted lambda HOFs."""
+    from pyspark.sql import functions as F
+
+    from ksql_udaf_statistics_spark.functions.token_ops import adjacent_token_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 2, 3]), ("b", [7]), ("c", [5, 5])],
+        "doc string, tokens array<int>",
+    )
+    rows = sorted(
+        (r["doc"], r["tok_a"], r["tok_b"])
+        for r in adjacent_token_pairs(df).collect()
+    )
+    assert rows == [("a", 1, 2), ("a", 2, 2), ("a", 2, 3), ("c", 5, 5)]
+    plan = adjacent_token_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower()
