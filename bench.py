@@ -84,10 +84,13 @@ HEADLINE = [
     "embedding_near_dups_lsh_verified",
     "multimodal_feature_stats",
     "token_arrow_stats",
-    # r4 additions: the oracle-verified approximate paths + real decode
+    # r4 additions: the oracle-verified approximate paths + real decode +
+    # tokenizer-training primitives
     "dedup_minhash_verified",
     "ann_ivf_verified",
     "wav_audio_stats",
+    "bpe_pair_topk",
+    "vocab_stats",
 ]
 
 
