@@ -62,8 +62,9 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 
 # rows-only queries that legitimately return zero rows at test scale
-# (LSH near-dup recall over a corpus with no true near-duplicates)
-MAY_BE_EMPTY = {"embedding_near_dups_lsh"}
+# (none currently: the permanently-empty embedding_near_dups_lsh gate
+# entry was retired in r4 in favor of its oracle-verified variant)
+MAY_BE_EMPTY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
