@@ -40,7 +40,12 @@ capabilities a ksqlDB user reaches next (r3/r4 additions):
   ksqlDB join model), compiled to a stream-static broadcast join;
 - ``WINDOW ... (..., GRACE PERIOD n UNIT)`` + ``EMIT FINAL`` — append
   output mode with the grace period as the event-time watermark: each
-  window emits exactly once, when it closes.
+  window emits exactly once, when it closes;
+- ``CREATE STREAM name AS SELECT ...`` (CSAS) — continuous stateless
+  transforms and stream-stream ``JOIN ... WITHIN n UNIT`` interval
+  joins, materialized append-only (parquet + file-sink manifest =
+  exactly-once downstream) and registered as streams for further
+  CSAS/CTAS chaining.
 
 UDAF dispatch matches the reference's SQL names and init-args:
 ``SKEWNESS(col[, true])`` / ``KURTOSIS(col[, true])`` (isSample
@@ -103,6 +108,27 @@ class StreamSpec:
     schema: StructType
     path: str
     ts_col: Optional[str]  # WITH (timestamp='col'); None -> synthetic ROWTIME
+    # physical encoding of the stream directory: source streams are JSON
+    # lines (the Kafka value_format='json' contract); DERIVED streams
+    # (CREATE STREAM ... AS SELECT) are parquet written by a file sink
+    # whose _spark_metadata manifest gives downstream readers exactly-once
+    fmt: str = "json"
+
+
+@dataclass
+class CsasSpec:
+    """CREATE STREAM ... AS SELECT — a continuous stateless transform
+    (projection/filter) or stream-stream interval join, materialized
+    append-only so downstream CTAS/joins consume it like any stream."""
+
+    name: str
+    source: str
+    select: list
+    where: Optional[str]
+    # {"stream": name, "kind": "inner"|"left_outer", "left_col": ...,
+    #  "right_col": ..., "within": duration}
+    join: Optional[dict]
+    checkpoint: str
 
 
 @dataclass
@@ -316,6 +342,7 @@ class KsqlEngine:
         self.workdir = workdir
         self.streams: dict[str, StreamSpec] = {}
         self.tables: dict[str, TableSpec] = {}
+        self.derived: dict[str, CsasSpec] = {}  # CSAS streams by name
         os.makedirs(workdir, exist_ok=True)
 
     # -- public API ----------------------------------------------------------
@@ -350,6 +377,9 @@ class KsqlEngine:
     def _execute_one(self, stmt: str):
         head = stmt.lstrip().upper()
         if head.startswith("CREATE STREAM"):
+            if re.match(r"CREATE\s+STREAM\s+\w+\s+(?:WITH\s*\(.*?\)\s*)?AS\s+SELECT",
+                        stmt, re.IGNORECASE | re.DOTALL):
+                return self._create_stream_as(stmt)
             return self._create_stream(stmt)
         if head.startswith("CREATE TABLE"):
             return self._create_table(stmt)
@@ -383,12 +413,15 @@ class KsqlEngine:
 
         if kind == "STREAM":
             spec = self.streams.pop(name, None)
+            csas = self.derived.pop(name, None)
             if spec is None:
                 if "IF EXISTS" in stmt.upper():
                     return
                 raise KsqlParseError(f"unknown stream {name!r}")
             if delete_data:
                 shutil.rmtree(spec.path, ignore_errors=True)
+                if csas is not None:
+                    shutil.rmtree(csas.checkpoint, ignore_errors=True)
         else:
             tspec = self.tables.pop(name, None)
             if tspec is None:
@@ -433,6 +466,167 @@ class KsqlEngine:
         os.makedirs(path, exist_ok=True)
         self.streams[name] = StreamSpec(name, StructType(schema_fields), path, ts_col)
 
+    # -- CREATE STREAM AS (CSAS) ---------------------------------------------
+
+    def _create_stream_as(self, stmt: str) -> None:
+        """``CREATE STREAM name AS SELECT items FROM src [alias]
+        [[LEFT] JOIN other [alias] WITHIN n UNIT ON a.k = b.k]
+        [WHERE pred] [EMIT CHANGES]`` — ksqlDB's continuous stateless
+        transform (CSAS). A projection/filter compiles to a streaming
+        map; ``JOIN ... WITHIN`` compiles to the engine's stateful
+        stream-stream interval join (streaming/join.py) with the WITHIN
+        bound as both the time constraint and the state-eviction
+        watermark. The result materializes append-only (parquet +
+        file-sink manifest = exactly-once for downstream readers) and
+        registers as a stream usable by further CSAS/CTAS/joins."""
+        m = re.match(
+            r"CREATE\s+STREAM\s+(\w+)\s*(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\s+.*)$",
+            stmt, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse CSAS: {stmt[:80]!r}")
+        name = m.group(1).lower()
+        sel = m.group(3)
+        _KW = r"JOIN|LEFT|WHERE|EMIT|ON|WITHIN"
+        q = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?\s*"
+            r"(?:(LEFT\s+(?:OUTER\s+)?)?JOIN\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?"
+            r"\s+WITHIN\s+(\d+)\s+(\w+)\s+ON\s+(.*?)\s*?)?"
+            r"(?:\s*WHERE\s+(.*?)\s*)?"
+            r"(?:EMIT\s+CHANGES)?\s*$",
+            sel, re.IGNORECASE | re.DOTALL,
+        )
+        if not q:
+            raise KsqlParseError(f"cannot parse CSAS SELECT: {sel[:80]!r}")
+        select_list = self._split_csv(q.group(1))
+        source = q.group(2).lower()
+        if source not in self.streams:
+            raise KsqlParseError(f"unknown stream {source!r}")
+        join = None
+        if q.group(5):
+            other = q.group(5).lower()
+            if other not in self.streams:
+                raise KsqlParseError(
+                    f"JOIN right side {other!r} is not a known stream "
+                    f"(CSAS joins are stream-stream; use CTAS for "
+                    f"stream-table joins)"
+                )
+            cols = self._join_on_sides(
+                (q.group(3) or source).lower(),
+                (q.group(6) or other).lower(),
+                q.group(9),
+            )
+            join = {
+                "stream": other,
+                "kind": "left_outer" if q.group(4) else "inner",
+                "left_col": cols[0], "right_col": cols[1],
+                "within": _duration(q.group(7), q.group(8)),
+            }
+        where = q.group(10)
+        if where:
+            parse_predicate(where)
+        spec = CsasSpec(
+            name=name, source=source, select=select_list, where=where,
+            join=join,
+            checkpoint=os.path.join(self.workdir, "ckpt_csas", name),
+        )
+        # batch prototype fixes the output schema (needed by the parquet
+        # stream reader) and validates every expression at CREATE time
+        proto = self._csas_transform(spec, streaming=False)
+        path = os.path.join(self.workdir, "streams", name)
+        os.makedirs(path, exist_ok=True)
+        src_ts = self.streams[source].ts_col
+        ts_col = src_ts if src_ts in proto.schema.names else None
+        self.derived[name] = spec
+        self.streams[name] = StreamSpec(
+            name, proto.schema, path, ts_col, fmt="parquet"
+        )
+
+    def _join_on_sides(self, left_alias: str, right_alias: str,
+                       on: str) -> tuple[str, str]:
+        """Resolve ``a.k = b.k`` / ``k1 = k2`` to (left_col, right_col)."""
+        m = re.match(r"\s*(\w+(?:\.\w+)?)\s*=\s*(\w+(?:\.\w+)?)\s*$", on)
+        if not m:
+            raise KsqlParseError(f"cannot parse JOIN ON condition {on!r}")
+        sides: dict[str, str] = {}
+        for raw in (m.group(1), m.group(2)):
+            parts = raw.lower().split(".")
+            if len(parts) == 2:
+                qual, col = parts
+                if qual == left_alias:
+                    sides["left"] = col
+                elif qual == right_alias:
+                    sides["right"] = col
+                else:
+                    raise KsqlParseError(
+                        f"unknown qualifier {qual!r} in JOIN ON {on!r}"
+                    )
+            else:
+                sides["left" if "left" not in sides else "right"] = parts[0]
+        if "left" not in sides or "right" not in sides:
+            raise KsqlParseError(f"JOIN ON must reference both sides: {on!r}")
+        return sides["left"], sides["right"]
+
+    def _csas_transform(self, spec: CsasSpec, streaming: bool) -> DataFrame:
+        df = self._stream_df(self.streams[spec.source], streaming)
+        if spec.join is not None:
+            from ..streaming.join import interval_join
+
+            right = self._stream_df(self.streams[spec.join["stream"]], streaming)
+            l_ts = self.streams[spec.source].ts_col
+            r_ts = self.streams[spec.join["stream"]].ts_col
+            if l_ts == r_ts:
+                raise KsqlParseError(
+                    "CSAS stream-stream join requires DISTINCT timestamp "
+                    f"column names on the two sides (both are {l_ts!r}); "
+                    "declare WITH (timestamp='...') with different names"
+                )
+            lcol, rcol = spec.join["left_col"], spec.join["right_col"]
+            if rcol != lcol:
+                right = right.withColumnRenamed(rcol, lcol)
+            w = spec.join["within"]
+            df = interval_join(
+                df, right, on=lcol, left_ts=l_ts, right_ts=r_ts,
+                watermark_left=w, watermark_right=w,
+                lower=w, upper=w, how=spec.join["kind"],
+            )
+        if spec.where:
+            df = df.filter(parse_predicate(spec.where))
+        items = [s.strip() for s in spec.select]
+        if items == ["*"]:
+            return df
+        return df.select(
+            *[
+                self._scalar_expr(self._expr_of(i)).alias(self._alias_of(i))
+                for i in items
+            ]
+        )
+
+    def refresh_stream(self, name: str) -> None:
+        """Drain currently-available upstream records through the CSAS
+        transform into the derived stream directory (availableNow on the
+        CSAS's own checkpoint — incremental, append-only). Upstream
+        derived streams refresh first, so chains propagate."""
+        spec = self.derived[name]
+        ups = [spec.source] + ([spec.join["stream"]] if spec.join else [])
+        for up in ups:
+            if up in self.derived:
+                self.refresh_stream(up)
+        out = self.streams[name]
+        q = (
+            self._csas_transform(spec, streaming=True)
+            .writeStream.format("parquet")
+            .option("path", out.path)
+            .option("checkpointLocation", spec.checkpoint)
+            .outputMode("append")
+            .queryName(f"csas_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
     # -- INSERT INTO ---------------------------------------------------------
 
     def _insert(self, stmt: str) -> None:
@@ -446,6 +640,11 @@ class KsqlEngine:
         spec = self.streams.get(name)
         if spec is None:
             raise KsqlParseError(f"unknown stream {name!r}")
+        if name in self.derived:
+            raise KsqlParseError(
+                f"cannot INSERT INTO {name!r}: it is a derived (CSAS) "
+                f"stream maintained by its query — insert into its source"
+            )
         cols = [c.strip().lower() for c in m.group(2).split(",")]
         vals = [self._literal(v) for v in self._split_csv(m.group(3))]
         if len(cols) != len(vals):
@@ -726,6 +925,11 @@ class KsqlEngine:
 
     def _stream_df(self, spec: StreamSpec, streaming: bool) -> DataFrame:
         reader = self.spark.readStream if streaming else self.spark.read
+        if spec.fmt == "parquet":
+            # derived (CSAS) stream: parquet files written by the file
+            # sink, whose _spark_metadata manifest makes downstream reads
+            # exactly-once; schema was fixed at CREATE time
+            return reader.schema(spec.schema).parquet(spec.path)
         # the Kafka-parity decode chain: raw bytes -> string -> from_json
         raw = reader.format("text").load(spec.path)
         return (
@@ -857,6 +1061,10 @@ class KsqlEngine:
             # against its current state (ksqlDB keeps both continuously
             # maintained; availableNow refreshes in dependency order)
             self.refresh(spec.join["table"])
+        if spec.source in self.derived:
+            # the source is a CSAS stream: propagate upstream inserts
+            # through the transform chain before draining it
+            self.refresh_stream(spec.source)
         if self._needs_batch_materialization(spec):
             # Session windows grouped ONLY by literals constant-fold to a
             # "global session aggregation", which Structured Streaming

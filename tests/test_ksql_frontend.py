@@ -503,3 +503,70 @@ def test_pull_query_limit(engine):
     rows = engine.execute("SELECT k, total FROM plt WHERE total >= 2 LIMIT 2;")
     assert len(rows) == 2
     assert all(r["total"] >= 2 for r in rows)
+
+
+def test_csas_transform_chain(engine):
+    """CREATE STREAM AS SELECT: a stateless projection/filter stream
+    feeding a downstream CTAS aggregate; later upstream inserts propagate
+    through the chain incrementally."""
+    engine.execute(
+        "CREATE STREAM raw (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='raw', value_format='json');"
+    )
+    for k, v in [("a", 1.0), ("a", -5.0), ("b", 2.0)]:
+        engine.execute(f"INSERT INTO raw (k, val) VALUES ('{k}', {v});")
+    engine.execute(
+        "CREATE STREAM cleaned AS SELECT k AS k, val * 2 AS v2 "
+        "FROM raw WHERE val > 0 EMIT CHANGES;"
+    )
+    assert "cleaned" in engine.execute("SHOW STREAMS;")
+    engine.execute(
+        "CREATE TABLE cleaned_totals AS SELECT k AS k, SUM(v2) AS total "
+        "FROM cleaned GROUP BY k EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM cleaned_totals;")
+    assert sorted((r["k"], r["total"]) for r in rows) == [("a", 2.0), ("b", 4.0)]
+    # upstream insert flows through CSAS into the table on next refresh
+    engine.execute("INSERT INTO raw (k, val) VALUES ('a', 10.0);")
+    rows = engine.execute("SELECT * FROM cleaned_totals;")
+    assert sorted((r["k"], r["total"]) for r in rows) == [("a", 22.0), ("b", 4.0)]
+    # derived streams reject direct inserts
+    with pytest.raises(Exception, match="derived"):
+        engine.execute("INSERT INTO cleaned (k, v2) VALUES ('x', 1.0);")
+
+
+def test_csas_stream_stream_join_within(engine):
+    """ksqlDB stream-stream JOIN WITHIN: orders join shipments within the
+    time bound; out-of-window shipments don't match."""
+    engine.execute(
+        "CREATE STREAM ord (oid BIGINT, ots TIMESTAMP) "
+        "WITH (kafka_topic='ord', value_format='json', timestamp='ots');"
+    )
+    engine.execute(
+        "CREATE STREAM shp (sid BIGINT, sts TIMESTAMP) "
+        "WITH (kafka_topic='shp', value_format='json', timestamp='sts');"
+    )
+    engine.execute(
+        "INSERT INTO ord (oid, ots) VALUES (1, '2024-01-01 00:00:00');"
+    )
+    engine.execute(
+        "INSERT INTO ord (oid, ots) VALUES (2, '2024-01-01 01:00:00');"
+    )
+    # shipment for order 1 within 10 minutes; for order 2 an hour late
+    engine.execute(
+        "INSERT INTO shp (sid, sts) VALUES (1, '2024-01-01 00:05:00');"
+    )
+    engine.execute(
+        "INSERT INTO shp (sid, sts) VALUES (2, '2024-01-01 02:30:00');"
+    )
+    engine.execute(
+        "CREATE STREAM matched AS SELECT o.oid AS oid, o.ots AS ots "
+        "FROM ord o JOIN shp s WITHIN 10 MINUTES ON o.oid = s.sid "
+        "EMIT CHANGES;"
+    )
+    engine.execute(
+        "CREATE TABLE match_counts AS SELECT oid AS oid, COUNT(*) AS n "
+        "FROM matched GROUP BY oid EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM match_counts;")
+    assert [(r["oid"], r["n"]) for r in rows] == [(1, 1)]
