@@ -438,6 +438,38 @@ def simhash_pairs(
     )
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train-test contamination detection: per corpus document, the count
+    of n-gram shingles it shares with a benchmark/eval set — the standard
+    decontamination pass (n-gram overlap against held-out benchmarks)
+    run before training.
+
+    Shape at 100 TB: the benchmark shingle set is SMALL (eval suites are
+    thousands of documents) and broadcasts; the corpus side is one
+    shingling pass + a broadcast semi-join + hash aggregation — no
+    shuffle of corpus shingles, no pair blowup. Output:
+    (doc_id, n_overlap) for documents meeting ``min_overlap``.
+    """
+    bench_sh = (
+        ensure_parallelism(benchmark)
+        .select(F.explode(word_shingle_hashes(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = shingle_table(corpus, text_col, n).select("doc_id", "shingle")
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def simhash_candidate_pairs(
     documents: DataFrame, text_col: str = "text", bands: int = 8,
 ) -> DataFrame:

@@ -1293,6 +1293,39 @@ def q_token_arrow_stats(spark, sf_dir):
 
 
 @register(
+    "contamination_check",
+    """WITH sh AS (
+         SELECT doc_id, unnest(shingles) AS shingle FROM (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+                    i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' ')
+                  )) AS shingles
+           FROM documents)),
+       bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+       corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 10)
+       SELECT c.doc_id AS doc_id, count(*) AS n_overlap
+       FROM corp c JOIN bench b USING (shingle)
+       GROUP BY c.doc_id""",
+)
+def q_contamination_check(spark, sf_dir):
+    """Train-test contamination detection (operators/dedup.py::
+    contamination_overlap): 5-gram overlap of every corpus document
+    against a benchmark set (here: docs 0-9 stand in for the eval
+    suite). Benchmark shingles broadcast; corpus pays one shingling pass
+    + broadcast semi-join — the decontamination shape that survives
+    100 TB. Hash-shingles on the Spark side equal string shingles in
+    count (same distinct sets modulo 2^-64 collisions), so the DuckDB
+    string-shingle oracle hash-verifies the counts."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return D.contamination_overlap(corpus, bench, n=5)
+
+
+@register(
     "bpe_pair_topk",
     """WITH tok AS (
          SELECT source,
