@@ -60,6 +60,14 @@ STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"
 # provider). Correctness on both providers is pytest-verified
 # (tests/test_streaming.py: stream==batch provider-independently).
 STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
+# the host shows time-varying co-tenant contention (same binary measured
+# 65k-427k seq/s within one hour; see BENCH/BASELINE.md host-ceiling
+# section), so a single-shot streaming measurement is +-50% noise. The
+# streaming segment therefore runs ATTEMPTS times back-to-back and
+# reports the best attempt as the headline (the scaling harness's
+# best-of-interleaved-reps discipline); every attempt's raw numbers are
+# kept in the output under "attempts".
+STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "2"))
 
 HEADLINE = [
     "skewness_pop",
@@ -91,6 +99,7 @@ HEADLINE = [
     "wav_audio_stats",
     "bpe_pair_topk",
     "vocab_stats",
+    "contamination_check",
 ]
 
 
@@ -170,6 +179,25 @@ def prepare_stream_source(spark, src: str) -> None:
 
 
 def bench_streaming(spark) -> dict:
+    """Best-of-N streaming measurement (see STREAM_ATTEMPTS note above);
+    raw per-attempt figures ride along under "attempts"."""
+    attempts = [
+        _bench_streaming_once(spark) for _ in range(max(STREAM_ATTEMPTS, 1))
+    ]
+    key = lambda a: a["steady_sequences_per_sec"] or a["sequences_per_sec"]  # noqa: E731
+    best = max(attempts, key=key)
+    best["attempts"] = [
+        {
+            "steady_sequences_per_sec": a["steady_sequences_per_sec"],
+            "best_batch_sequences_per_sec": a["best_batch_sequences_per_sec"],
+            "batch_p50_ms": a["batch_p50_ms"],
+        }
+        for a in attempts
+    ]
+    return best
+
+
+def _bench_streaming_once(spark) -> dict:
     from ksql_udaf_statistics_spark.sources.tables import token_value_streams
     from ksql_udaf_statistics_spark.streaming.jobs import windowed_stats
     from ksql_udaf_statistics_spark.streaming.sink import (
