@@ -63,11 +63,22 @@ STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
 # the host shows time-varying co-tenant contention (same binary measured
 # 65k-427k seq/s within one hour; see BENCH/BASELINE.md host-ceiling
 # section), so a single-shot streaming measurement is +-50% noise. The
-# streaming segment therefore runs ATTEMPTS times back-to-back and
-# reports the best attempt as the headline (the scaling harness's
-# best-of-interleaved-reps discipline); every attempt's raw numbers are
-# kept in the output under "attempts".
-STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "2"))
+# streaming segment therefore runs ATTEMPTS times SPREAD over the bench
+# (in mode=all: one attempt before the batch segment, the rest after,
+# separated by SPREAD_SEC pauses — back-to-back attempts can't escape an
+# hour-scale contention window) and reports the best attempt as the
+# headline (the scaling harness's best-of-interleaved-reps discipline);
+# every attempt's raw numbers are kept under "attempts", and each attempt
+# carries a Spark-free host-ceiling probe (same burn/memburn kernels as
+# BENCH/hw_ceiling.py) taken immediately before it, so a
+# contended-window artifact is self-evidently contended.
+STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "3"))
+STREAM_SPREAD_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_SPREAD_SEC", "45"))
+# clean-window reference for the probe (BENCH/hw_ceiling_snapshots.jsonl,
+# 2026-08-17T05:20Z, an uncontended window): burn ~0.69 tasks/s/proc —
+# per-proc CPU throughput is flat across 4..16 procs when the host is
+# clean, so an attempt whose probe reads well below this ran contended.
+PROBE_CLEAN_CPU_PER_PROC = 0.69
 
 HEADLINE = [
     "skewness_pop",
@@ -100,7 +111,55 @@ HEADLINE = [
     "bpe_pair_topk",
     "vocab_stats",
     "contamination_check",
+    # r5 additions: text-quality operators join the headline so their
+    # costs are visible (repetition_profile previously hid an O(len^2)
+    # HOF plan precisely because it wasn't timed here)
+    "repetition_profile",
+    "lang_id_counts",
+    "quality_filter",
 ]
+
+
+def _probe_burn(_):
+    # module-level (mp.Pool pickles the mapped fn even under fork)
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return x
+
+
+def _probe_memburn(_):
+    import numpy as np
+
+    a = np.ones(50_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(2):
+        s += float(a.sum())
+    return s
+
+
+def host_probe() -> dict:
+    """Spark-free host-throughput probe: the burn/memburn kernels from
+    BENCH/hw_ceiling.py at this bench's core count, one rep each (~5s).
+    Embedded next to each streaming attempt so the artifact itself shows
+    whether the window was contended (clean reference: burn ~= 0.69
+    tasks/s/proc; co-tenant weather has been measured to cut this to
+    0.3-0.5 for hours at a time with zero visible steal)."""
+    import multiprocessing as mp
+
+    out = {"n_procs": CPUS}
+    for name, fn in (("cpu", _probe_burn), ("mem", _probe_memburn)):
+        t0 = time.perf_counter()
+        with mp.Pool(CPUS) as p:
+            p.map(fn, range(CPUS * 2))
+        thr = CPUS * 2 / (time.perf_counter() - t0)
+        out[f"{name}_tasks_per_sec"] = round(thr, 3)
+        out[f"{name}_tasks_per_sec_per_proc"] = round(thr / CPUS, 4)
+    out["clean_cpu_per_proc_reference"] = PROBE_CLEAN_CPU_PER_PROC
+    out["contention_factor"] = round(
+        out["cpu_tasks_per_sec_per_proc"] / PROBE_CLEAN_CPU_PER_PROC, 3
+    )
+    return out
 
 
 def build_spark(cpus: int):
@@ -136,6 +195,30 @@ def build_spark(cpus: int):
     return builder.getOrCreate()
 
 
+def warm_python_workers(spark) -> None:
+    """Spawn the FULL Python/Arrow worker pool (one task per core, both
+    the MapInPandas and the ArrowEvalPython node types) so no timed query
+    absorbs the ~1.5-2s/worker spawn + Arrow codec init. The r4 artifact's
+    token_stats_by_source 2x regression traced to warming only 8 of the
+    32 workers the timed queries then used."""
+    from pyspark.sql import functions as F
+    from ksql_udaf_statistics_spark.functions.token_ops import (
+        with_token_stats_arrow,
+    )
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, CPUS * 8, 1, CPUS).mapInPandas(_noop, "id long").count()
+    # the exact ArrowEvalPython kernel the timed token queries use
+    tiny = spark.range(0, CPUS * 8, 1, CPUS).select(
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+    )
+    with_token_stats_arrow(tiny).count()
+
+
 def bench_batch(spark) -> dict[str, float]:
     from ksql_udaf_statistics_spark.plans.queries import QUERIES
     from ksql_udaf_statistics_spark.sources.tables import TABLE_NAMES
@@ -146,13 +229,7 @@ def bench_batch(spark) -> dict[str, float]:
     # spawn + Arrow codec init that every later one reuses)
     for t in TABLE_NAMES:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    import pandas as _pd
-
-    def _noop(it):
-        for pdf in it:
-            yield pdf
-
-    spark.range(0, 64, 1, 8).mapInPandas(_noop, "id long").count()
+    warm_python_workers(spark)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -178,23 +255,39 @@ def prepare_stream_source(spark, src: str) -> None:
     tok.write.mode("overwrite").parquet(src)
 
 
-def bench_streaming(spark) -> dict:
-    """Best-of-N streaming measurement (see STREAM_ATTEMPTS note above);
-    raw per-attempt figures ride along under "attempts"."""
-    attempts = [
-        _bench_streaming_once(spark) for _ in range(max(STREAM_ATTEMPTS, 1))
-    ]
+def stream_attempt(spark) -> dict:
+    """One streaming measurement with its own host-ceiling probe taken
+    immediately before it (the probe is Spark-free, ~5s)."""
+    probe = host_probe()
+    a = _bench_streaming_once(spark)
+    a["host_probe"] = probe
+    return a
+
+
+def combine_attempts(attempts: list[dict]) -> dict:
+    """Best-of-N headline (capability measure — explicitly labeled as
+    such); every attempt's raw figures + host probe ride along."""
     key = lambda a: a["steady_sequences_per_sec"] or a["sequences_per_sec"]  # noqa: E731
-    best = max(attempts, key=key)
+    best = dict(max(attempts, key=key))
+    best["selection"] = f"best-of-{len(attempts)} spread attempts"
     best["attempts"] = [
         {
             "steady_sequences_per_sec": a["steady_sequences_per_sec"],
             "best_batch_sequences_per_sec": a["best_batch_sequences_per_sec"],
             "batch_p50_ms": a["batch_p50_ms"],
+            "host_probe": a.get("host_probe"),
         }
         for a in attempts
     ]
     return best
+
+
+def bench_streaming(spark) -> dict:
+    """Back-to-back attempts (mode=streaming path, used by the scaling
+    harness which supplies its own interleaving across processes)."""
+    return combine_attempts(
+        [stream_attempt(spark) for _ in range(max(STREAM_ATTEMPTS, 1))]
+    )
 
 
 def _bench_streaming_once(spark) -> dict:
@@ -208,6 +301,7 @@ def _bench_streaming_once(spark) -> dict:
 
     work = tempfile.mkdtemp(prefix="kuss_bench_")
     src = STREAM_SRC or f"{tempfile.gettempdir()}/kuss_stream_src_{N_SEQ}"
+    saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         prepare_stream_source(spark, src)
         schema = spark.read.parquet(src).schema
@@ -311,6 +405,9 @@ def _bench_streaming_once(spark) -> dict:
             "batch_p50_ms": statistics.median(durations) if durations else None,
         }
     finally:
+        # restore: attempts now run BEFORE/around the batch segment, which
+        # must keep its own partitioning
+        spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -321,8 +418,25 @@ def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_MODE", "all")
     spark = build_spark(CPUS)
     t0 = time.perf_counter()
-    queries = bench_batch(spark) if mode in ("all", "batch") else {}
-    streaming = bench_streaming(spark) if mode in ("all", "streaming") else {}
+    queries: dict = {}
+    streaming: dict = {}
+    if mode == "batch":
+        queries = bench_batch(spark)
+    elif mode == "streaming":
+        streaming = bench_streaming(spark)
+    else:
+        # spread the streaming attempts across the whole bench: attempt,
+        # batch segment (~40s), attempt, pause, attempt — plus a host
+        # probe per attempt (see STREAM_ATTEMPTS note). A single
+        # contended minute can no longer zero out the whole artifact,
+        # and when the full window IS contended the probes say so.
+        attempts = [stream_attempt(spark)]
+        queries = bench_batch(spark)
+        for i in range(1, max(STREAM_ATTEMPTS, 1)):
+            if i > 1:
+                time.sleep(STREAM_SPREAD_SEC)
+            attempts.append(stream_attempt(spark))
+        streaming = combine_attempts(attempts)
     total = round(time.perf_counter() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -75,7 +75,7 @@ def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     )
 
 
-def word_shingle_hashes(text_col: str = "text", n: int = 3, seed: int = 0) -> F.Column:
+def word_shingle_hashes(text_col="text", n: int = 3, seed: int = 0) -> F.Column:
     """Array of distinct n-word shingle HASHES.
 
     Cost shape (the per-document hot loop of every near-dup pass): each
@@ -86,7 +86,8 @@ def word_shingle_hashes(text_col: str = "text", n: int = 3, seed: int = 0) -> F.
     distinct-string set up to 64-bit collisions (~n_shingles^2 / 2^64 —
     negligible below ~2^32 distinct shingles per corpus).
     """
-    w = F.split(F.col(text_col), " ")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = F.split(c, " ")
     wh = F.transform(w, lambda x: F.xxhash64(x, F.lit(seed)))
     size = F.size(w)
     # Build shingle hashes by zipping the word-hash array against its own

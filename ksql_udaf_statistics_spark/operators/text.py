@@ -82,13 +82,25 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Fraction of repeated n-gram occurrences within one document:
     ``1 - distinct_ngrams / total_ngrams``. The standard boilerplate /
     looping-text quality rule for LLM corpora (high ratio = templated or
-    degenerate text). One pass over the word array, JVM-side."""
+    degenerate text). One pass over the word array, JVM-side.
+
+    Cost shape: counts DISTINCT ROLLING HASHES via the zip_with/slice
+    idiom shared with ``dedup.word_shingle_hashes`` — every reference to
+    the word array stays in row position, so the plan is O(len * n) per
+    document. (The naive alternative — ``F.slice(w, i + 1, n)`` inside a
+    per-element ``F.transform`` lambda — re-evaluates the whole split per
+    element: O(len^2)/row, the measured-10x HOF trap documented at
+    dedup.py::word_shingle_hashes.) The distinct-hash count equals the
+    distinct-string count up to 64-bit collisions within one document
+    (~shingles^2/2^64 — negligible), so the DuckDB string-shingle oracle
+    still matches value-for-value."""
+    from .dedup import word_shingle_hashes
+
     c = F.col(text) if isinstance(text, str) else text
     w = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    distinct = F.size(word_shingle_hashes(c, n))
     total = F.greatest(F.size(w) - (n - 1), F.lit(1)).cast("double")
-    return F.lit(1.0) - F.size(F.array_distinct(shingles)).cast("double") / total
+    return F.lit(1.0) - distinct.cast("double") / total
 
 
 def fingerprint(text: Column | str) -> Column:
