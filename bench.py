@@ -108,6 +108,7 @@ HEADLINE = [
     "dedup_minhash_verified",
     "ann_ivf_verified",
     "wav_audio_stats",
+    "ppm_image_stats",
     "bpe_pair_topk",
     "vocab_stats",
     "contamination_check",

@@ -45,7 +45,20 @@ capabilities a ksqlDB user reaches next (r3/r4 additions):
   transforms and stream-stream ``JOIN ... WITHIN n UNIT`` interval
   joins, materialized append-only (parquet + file-sink manifest =
   exactly-once downstream) and registered as streams for further
-  CSAS/CTAS chaining.
+  CSAS/CTAS chaining;
+- ``PARTITION BY col`` on CSAS (r5) — re-keys the derived stream: each
+  micro-batch hash-partitions on the new key before the file sink (the
+  Spark analogue of producing to a re-keyed topic), and the key is
+  recorded for downstream grouping;
+- table-table joins (r5): ``CREATE TABLE t3 AS SELECT ... FROM t1
+  [LEFT|FULL [OUTER]] JOIN t2 ON ... [WHERE ...]`` — ksqlDB's changelog
+  join, served as a read-time join of the two materialized tables
+  (parents refresh first, so both sides' updates flow through every
+  read; INNER/LEFT/FULL OUTER, the three kinds ksqlDB supports);
+- scalar functions (r5): ABS/ROUND/SQRT/EXP/LN/LOG10/FLOOR/CEIL/SIGN/
+  POWER/UPPER/LOWER/TRIM/LEN/SUBSTRING/CONCAT/COALESCE/IFNULL/GREATEST/
+  LEAST anywhere an expression is accepted (select items, WHERE/HAVING,
+  UDAF arguments) — each compiles to the Spark builtin, JVM-side.
 
 UDAF dispatch matches the reference's SQL names and init-args:
 ``SKEWNESS(col[, true])`` / ``KURTOSIS(col[, true])`` (isSample
@@ -113,6 +126,11 @@ class StreamSpec:
     # (CREATE STREAM ... AS SELECT) are parquet written by a file sink
     # whose _spark_metadata manifest gives downstream readers exactly-once
     fmt: str = "json"
+    # the stream's key column (ksqlDB record key): set by CSAS
+    # PARTITION BY — rows in the materialized directory are hash-
+    # partitioned on it, so a downstream CTAS grouping on the key reads
+    # co-located input
+    key_col: Optional[str] = None
 
 
 @dataclass
@@ -129,6 +147,11 @@ class CsasSpec:
     #  "right_col": ..., "within": duration}
     join: Optional[dict]
     checkpoint: str
+    # ksqlDB PARTITION BY col — re-keys the derived stream: rows are
+    # physically co-located by the new key (the Spark analogue of
+    # writing to a re-keyed topic), and the key is recorded on the
+    # registered stream for downstream grouping/joins
+    partition_by: Optional[str] = None
 
 
 @dataclass
@@ -156,6 +179,27 @@ class TableSpec:
     emit: str = "changes"
 
 
+@dataclass
+class TableViewSpec:
+    """CTAS over materialized TABLE(s): ksqlDB's table-table join (and
+    plain table projection/filter). ksqlDB maintains the result as a
+    changelog join of the two tables; since every pull query serves each
+    key's CURRENT value, the changelog join is servable as a READ-TIME
+    join of the two materialized tables — both parents refresh first
+    (dependency order), then the join runs over their current state, so
+    updates on either side flow through on the next read exactly as
+    ksqlDB's continuously-maintained result would."""
+
+    name: str
+    left: str
+    right: Optional[str]  # None -> plain projection/filter view
+    kind: str  # "inner" | "left" | "full"
+    left_col: Optional[str]
+    right_col: Optional[str]
+    select: list
+    where: Optional[str]
+
+
 class KsqlParseError(ValueError):
     pass
 
@@ -173,8 +217,32 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'[^']*')"
     r"|(?P<ident>[A-Za-z_]\w*(?:\.\w+)?)"
-    r"|(?P<op><>|!=|<=|>=|[-+*/()<>=]))"
+    r"|(?P<op><>|!=|<=|>=|[-+*/()<>=,]))"
 )
+
+# ksqlDB scalar functions a user reaches right after arithmetic — each
+# compiles to the Spark builtin (JVM codegen; nothing interpreted).
+# Entries: arity check (-1 = variadic >=1) + builder over parsed Columns.
+_SCALAR_FUNCS: dict = {
+    "ABS": (1, lambda c: F.abs(c[0])),
+    "SQRT": (1, lambda c: F.sqrt(c[0])),
+    "EXP": (1, lambda c: F.exp(c[0])),
+    "LN": (1, lambda c: F.log(c[0])),
+    "LOG10": (1, lambda c: F.log10(c[0])),
+    "FLOOR": (1, lambda c: F.floor(c[0])),
+    "CEIL": (1, lambda c: F.ceil(c[0])),
+    "SIGN": (1, lambda c: F.signum(c[0])),
+    "POWER": (2, lambda c: F.pow(c[0], c[1])),
+    "UPPER": (1, lambda c: F.upper(c[0])),
+    "LOWER": (1, lambda c: F.lower(c[0])),
+    "TRIM": (1, lambda c: F.trim(c[0])),
+    "LEN": (1, lambda c: F.length(c[0])),
+    "CONCAT": (-1, lambda c: F.concat(*c)),
+    "COALESCE": (-1, lambda c: F.coalesce(*c)),
+    "IFNULL": (2, lambda c: F.coalesce(c[0], c[1])),
+    "GREATEST": (-1, lambda c: F.greatest(*c)),
+    "LEAST": (-1, lambda c: F.least(*c)),
+}
 
 
 def _tokenize(s: str) -> list[str]:
@@ -243,11 +311,60 @@ class _ExprParser:
         if t.upper() in ("TRUE", "FALSE"):
             return F.lit(t.upper() == "TRUE")
         if re.fullmatch(r"[A-Za-z_]\w*(?:\.\w+)?", t):
+            if self._peek() == "(":
+                return self._call(t)
             # alias-qualified names (s.val) resolve by base name: after the
             # stream-table join both sides' columns are present unqualified
             # (the duplicate join key is dropped), so the suffix is unique
             return F.col(t.split(".")[-1].lower())
         raise KsqlParseError(f"unexpected token {t!r}")
+
+    def _call(self, fname: str) -> Column:
+        """Scalar function call ``f(arg, ...)`` — args are full
+        expressions; literal-int args are additionally remembered raw for
+        functions whose Spark builtin takes a Python int (ROUND scale,
+        SUBSTRING bounds)."""
+        self._next()  # consume '('
+        cols: list[Column] = []
+        raw_ints: list[Optional[int]] = []
+        if self._peek() != ")":
+            while True:
+                start = self.i
+                tok = self._peek()
+                cols.append(self.expr())
+                raw_ints.append(
+                    int(tok)
+                    if self.i == start + 1 and re.fullmatch(r"\d+", tok or "")
+                    else None
+                )
+                if self._peek() == ",":
+                    self._next()
+                    continue
+                break
+        if self._next() != ")":
+            raise KsqlParseError(f"expected ')' closing {fname}(...)")
+        u = fname.upper()
+        if u == "ROUND":
+            if len(cols) not in (1, 2):
+                raise KsqlParseError("ROUND takes 1 or 2 arguments")
+            if len(cols) == 2 and raw_ints[1] is None:
+                raise KsqlParseError("ROUND scale must be an integer literal")
+            return F.round(cols[0], raw_ints[1] if len(cols) == 2 else 0)
+        if u == "SUBSTRING":
+            if len(cols) != 3 or raw_ints[1] is None or raw_ints[2] is None:
+                raise KsqlParseError(
+                    "SUBSTRING takes (expr, start_int, len_int)"
+                )
+            return F.substring(cols[0], raw_ints[1], raw_ints[2])
+        if u in _SCALAR_FUNCS:
+            arity, fn = _SCALAR_FUNCS[u]
+            if arity == -1:
+                if not cols:
+                    raise KsqlParseError(f"{u} needs at least one argument")
+            elif len(cols) != arity:
+                raise KsqlParseError(f"{u} takes {arity} argument(s)")
+            return fn(cols)
+        raise KsqlParseError(f"unknown scalar function {fname!r}")
 
     # predicates --------------------------------------------------------------
 
@@ -418,17 +535,24 @@ class KsqlEngine:
                 if "IF EXISTS" in stmt.upper():
                     return
                 raise KsqlParseError(f"unknown stream {name!r}")
-            if delete_data:
+            if csas is not None:
+                # derived (CSAS) stream: the parquet directory (incl. the
+                # file-sink _spark_metadata manifest) and the CSAS
+                # checkpoint are ENGINE-MANAGED state, not a user topic —
+                # always remove both, or a re-created same-named CSAS
+                # silently inherits stale data and sink/checkpoint state
                 shutil.rmtree(spec.path, ignore_errors=True)
-                if csas is not None:
-                    shutil.rmtree(csas.checkpoint, ignore_errors=True)
+                shutil.rmtree(csas.checkpoint, ignore_errors=True)
+            elif delete_data:
+                shutil.rmtree(spec.path, ignore_errors=True)
         else:
             tspec = self.tables.pop(name, None)
             if tspec is None:
                 if "IF EXISTS" in stmt.upper():
                     return
                 raise KsqlParseError(f"unknown table {name!r}")
-            if delete_data:
+            if delete_data and not isinstance(tspec, TableViewSpec):
+                # views have no materialization of their own to delete
                 shutil.rmtree(tspec.sink.path, ignore_errors=True)
                 shutil.rmtree(tspec.checkpoint, ignore_errors=True)
 
@@ -487,7 +611,7 @@ class KsqlEngine:
             raise KsqlParseError(f"cannot parse CSAS: {stmt[:80]!r}")
         name = m.group(1).lower()
         sel = m.group(3)
-        _KW = r"JOIN|LEFT|WHERE|EMIT|ON|WITHIN"
+        _KW = r"JOIN|LEFT|WHERE|EMIT|ON|WITHIN|PARTITION"
         q = re.match(
             r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
             rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?\s*"
@@ -495,6 +619,7 @@ class KsqlEngine:
             rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?"
             r"\s+WITHIN\s+(\d+)\s+(\w+)\s+ON\s+(.*?)\s*?)?"
             r"(?:\s*WHERE\s+(.*?)\s*)?"
+            r"(?:PARTITION\s+BY\s+(\w+(?:\.\w+)?)\s*)?"
             r"(?:EMIT\s+CHANGES)?\s*$",
             sel, re.IGNORECASE | re.DOTALL,
         )
@@ -527,21 +652,29 @@ class KsqlEngine:
         where = q.group(10)
         if where:
             parse_predicate(where)
+        partition_by = q.group(11).lower().split(".")[-1] if q.group(11) else None
         spec = CsasSpec(
             name=name, source=source, select=select_list, where=where,
             join=join,
             checkpoint=os.path.join(self.workdir, "ckpt_csas", name),
+            partition_by=partition_by,
         )
         # batch prototype fixes the output schema (needed by the parquet
         # stream reader) and validates every expression at CREATE time
         proto = self._csas_transform(spec, streaming=False)
+        if partition_by is not None and partition_by not in proto.schema.names:
+            raise KsqlParseError(
+                f"PARTITION BY column {partition_by!r} is not in the "
+                f"select list (output columns: {proto.schema.names})"
+            )
         path = os.path.join(self.workdir, "streams", name)
         os.makedirs(path, exist_ok=True)
         src_ts = self.streams[source].ts_col
         ts_col = src_ts if src_ts in proto.schema.names else None
         self.derived[name] = spec
         self.streams[name] = StreamSpec(
-            name, proto.schema, path, ts_col, fmt="parquet"
+            name, proto.schema, path, ts_col, fmt="parquet",
+            key_col=partition_by,
         )
 
     def _join_on_sides(self, left_alias: str, right_alias: str,
@@ -615,9 +748,15 @@ class KsqlEngine:
             if up in self.derived:
                 self.refresh_stream(up)
         out = self.streams[name]
+        df = self._csas_transform(spec, streaming=True)
+        if spec.partition_by is not None:
+            # PARTITION BY re-key: hash-partition the micro-batch on the
+            # new key before the file sink, so each written file holds
+            # only one key-partition's rows — the Spark analogue of
+            # producing to a re-keyed topic (co-located downstream reads)
+            df = df.repartition(F.col(spec.partition_by))
         q = (
-            self._csas_transform(spec, streaming=True)
-            .writeStream.format("parquet")
+            df.writeStream.format("parquet")
             .option("path", out.path)
             .option("checkpointLocation", spec.checkpoint)
             .outputMode("append")
@@ -625,7 +764,15 @@ class KsqlEngine:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timed-out drain means the derived stream directory is
+            # still being written — returning would let the downstream
+            # CTAS read a partial stream; fail loudly instead
+            q.stop()
+            raise RuntimeError(
+                f"CSAS refresh of stream {name!r} did not finish within "
+                f"300s; downstream reads would see a partial stream"
+            )
 
     # -- INSERT INTO ---------------------------------------------------------
 
@@ -710,6 +857,11 @@ class KsqlEngine:
         name = m.group(1).lower()
         with_opts = _parse_with(m.group(2) or "")
         sel = m.group(3)
+        from_m = re.search(r"\bFROM\s+(\w+)", sel, re.IGNORECASE)
+        if from_m and from_m.group(1).lower() in self.tables:
+            # FROM names a materialized table -> table-table join /
+            # table projection view (no GROUP BY; served at read time)
+            return self._create_table_view(name, sel)
         _KW = r"JOIN|LEFT|WHERE|WINDOW|GROUP|EMIT|HAVING|ON"
         q = re.match(
             r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
@@ -745,6 +897,16 @@ class KsqlEngine:
         window = None
         if q.group(9):
             window = self._parse_window(q.group(9).upper(), q.group(10))
+            if self.streams[source].ts_col is None:
+                # a CSAS that dropped the source timestamp registers with
+                # ts_col=None; failing here (CREATE time) beats an opaque
+                # Py4J error at first refresh
+                raise KsqlParseError(
+                    f"stream {source!r} has no timestamp column, so it "
+                    f"cannot drive a WINDOW/EMIT FINAL query — re-create "
+                    f"it keeping the source timestamp in the select list, "
+                    f"or declare WITH (timestamp='col') on a source stream"
+                )
         group_by = [g.strip() for g in self._split_csv(q.group(11))]
         having = q.group(12)
         emit = (q.group(13) or "changes").lower()
@@ -768,6 +930,52 @@ class KsqlEngine:
             with_opts=with_opts, where=where, having=having,
             having_text=having_text, having_hidden=having_hidden,
             join=join, emit=emit,
+        )
+
+    def _create_table_view(self, name: str, sel: str) -> None:
+        """``CREATE TABLE t3 AS SELECT items FROM t1 [a] [LEFT|FULL
+        [OUTER]] JOIN t2 [b] ON a.k = b.k [WHERE pred] [EMIT CHANGES]``
+        — the ksqlDB table-table join (INNER / LEFT / FULL OUTER, the
+        three kinds ksqlDB supports), plus the degenerate no-join table
+        projection. See TableViewSpec for the changelog-join-as-read-
+        time-join argument."""
+        _KW = r"JOIN|LEFT|FULL|WHERE|EMIT|ON"
+        q = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?\s*"
+            r"(?:(LEFT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN\s+(\w+)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?"
+            r"\s+ON\s+(.*?)\s*)?"
+            r"(?:WHERE\s+(.*?)\s*)?"
+            r"(?:EMIT\s+CHANGES)?\s*$",
+            sel, re.IGNORECASE | re.DOTALL,
+        )
+        if not q:
+            raise KsqlParseError(f"cannot parse table-CTAS SELECT: {sel[:80]!r}")
+        select_list = self._split_csv(q.group(1))
+        left = q.group(2).lower()
+        right = q.group(5).lower() if q.group(5) else None
+        kind, lcol, rcol = "inner", None, None
+        if right is not None:
+            if right not in self.tables:
+                raise KsqlParseError(
+                    f"JOIN right side {right!r} is not a known table "
+                    f"(table-table joins take two materialized tables)"
+                )
+            raw_kind = (q.group(4) or "").strip().upper()
+            kind = ("left" if raw_kind.startswith("LEFT")
+                    else "full" if raw_kind.startswith("FULL") else "inner")
+            lcol, rcol = self._join_on_sides(
+                (q.group(3) or left).lower(),
+                (q.group(6) or right).lower(),
+                q.group(7),
+            )
+        where = q.group(8)
+        if where:
+            parse_predicate(where)
+        self.tables[name] = TableViewSpec(
+            name=name, left=left, right=right, kind=kind,
+            left_col=lcol, right_col=rcol, select=select_list, where=where,
         )
 
     def _parse_join(self, source_alias: str, kind: str, table: str,
@@ -910,7 +1118,16 @@ class KsqlEngine:
     @staticmethod
     def _alias_of(item: str) -> str:
         m = re.match(r"(.*)\s+AS\s+(\w+)\s*$", item.strip(), re.IGNORECASE | re.DOTALL)
-        return m.group(2).lower() if m else item.strip().lower()
+        if m:
+            return m.group(2).lower()
+        e = item.strip().lower()
+        if re.fullmatch(r"\w+\.\w+", e):
+            # qualified item without AS (SELECT o.oid ...): default the
+            # alias to the base name after the qualifier, matching the
+            # expression parser's resolution rule — a dotted output
+            # column would be unreadable by F.col / pull queries
+            return e.split(".")[-1]
+        return e
 
     @staticmethod
     def _expr_of(item: str) -> str:
@@ -1056,6 +1273,13 @@ class KsqlEngine:
         analogue of ksqlDB's continuous EMIT CHANGES query; each call
         resumes incrementally, reprocessing nothing)."""
         spec = self.tables[table]
+        if isinstance(spec, TableViewSpec):
+            # table view / table-table join: refresh the parents; the
+            # join itself runs at read time over their current state
+            self.refresh(spec.left)
+            if spec.right is not None:
+                self.refresh(spec.right)
+            return
         if spec.join is not None:
             # bring the join table up to date first, so this refresh joins
             # against its current state (ksqlDB keeps both continuously
@@ -1097,7 +1321,12 @@ class KsqlEngine:
             lambda df: self._build_agg(spec, df),
             output_mode=mode, query_name=f"ksql_{table}",
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"refresh of table {table!r} did not finish within 300s; "
+                f"the materialized state is incomplete"
+            )
 
     def _needs_batch_materialization(self, spec: TableSpec) -> bool:
         all_literal_keys = all(
@@ -1107,7 +1336,9 @@ class KsqlEngine:
                 and spec.window["kind"] == "session"
                 and all_literal_keys)
 
-    def _read_table(self, spec: TableSpec) -> DataFrame:
+    def _read_table(self, spec) -> DataFrame:
+        if isinstance(spec, TableViewSpec):
+            return self._read_table_view(spec)
         if self._needs_batch_materialization(spec):
             df = self.spark.read.parquet(
                 os.path.join(spec.sink.path, "batch_full")
@@ -1129,6 +1360,34 @@ class KsqlEngine:
             df = df.filter(parse_predicate(spec.having_text))
             df = df.drop(*[nm for nm, _ in spec.having_hidden])
         return df
+
+    def _read_table_view(self, spec: TableViewSpec) -> DataFrame:
+        left = self._read_table(self.tables[spec.left])
+        if spec.right is not None:
+            right = self._read_table(self.tables[spec.right])
+            lcol, rcol = spec.left_col, spec.right_col
+            if rcol != lcol:
+                right = right.withColumnRenamed(rcol, lcol)
+            how = {"inner": "inner", "left": "left",
+                   "full": "full_outer"}[spec.kind]
+            # join-by-name: one key column in the output (coalesced for
+            # FULL OUTER, ksqlDB's table-key semantics). Both sides are
+            # materialized aggregates — small relative to their source
+            # streams — so Catalyst/AQE picks broadcast when one fits.
+            df = left.join(right, on=lcol, how=how)
+        else:
+            df = left
+        if spec.where:
+            df = df.filter(parse_predicate(spec.where))
+        items = [s.strip() for s in spec.select]
+        if items == ["*"]:
+            return df
+        return df.select(
+            *[
+                self._scalar_expr(self._expr_of(i)).alias(self._alias_of(i))
+                for i in items
+            ]
+        )
 
     def _pull_query(self, stmt: str) -> list[dict]:
         m = re.match(

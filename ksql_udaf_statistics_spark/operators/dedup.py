@@ -21,6 +21,8 @@ table produces the same clusters at any parallelism.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -174,6 +176,7 @@ def jaccard_pairs(
 def minhash_signatures(
     documents: DataFrame, text_col: str = "text", n: int = 3,
     num_hashes: int = 32, seed: int = 1,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of the
     i-th hash family member. All array ops, no shuffle, no Python.
@@ -195,7 +198,7 @@ def minhash_signatures(
     )
     return (
         documents.withColumn("_sh_hashes", base)
-        .select("doc_id", sigs.alias("sig"))
+        .select("doc_id", *extra_cols, sigs.alias("sig"))
     )
 
 

@@ -287,6 +287,73 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = (
+    "media_id string, source string, width int, height int, "
+    "n_subpixels long, px_sum long, px_max long"
+)
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """Real binary-PPM (P6) payloads synthesized deterministically from
+    doc ids: image d is ``(6 + d % 7) x (8 + d % 9)`` RGB with flattened
+    subpixel ``p`` valued ``(d*13 + p*5) % 256`` — a closed form the
+    DuckDB oracle recomputes, so aggregates over the DECODED pixels are
+    oracle-able end-to-end (the image mirror of synthesize_wav_media).
+    Arrow ``mapInPandas``, partition-preserving."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            d_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+            payloads = []
+            for dd in d_arr:
+                w, h = 8 + dd % 9, 6 + dd % 7
+                p = np.arange(w * h * 3, dtype=np.int64)
+                px = ((dd * 13 + p * 5) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(px.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "source": pdf["source"],
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "source").mapInPandas(
+        batches, "media_id string, source string, payload binary"
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image pixel statistics via the REAL PPM decoder: header parse
+    gives (width, height), the pixel plane gives exact int64 sum/max —
+    one Arrow batch in, scalars out (the image mirror of audio_stats)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, counts, sums, maxes = [], [], [], [], []
+            for p in pdf["payload"]:
+                arr = decode_ppm(bytes(p))
+                flat = arr.astype(np.int64).ravel()
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                counts.append(flat.size)
+                sums.append(int(flat.sum()))
+                maxes.append(int(flat.max()) if flat.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "source": pdf["source"],
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "n_subpixels": np.asarray(counts, dtype=np.int64),
+                    "px_sum": np.asarray(sums, dtype=np.int64),
+                    "px_max": np.asarray(maxes, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
 def resize_op(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize plumbing: recomputes metadata JVM-side; payload re-encode is
     behind the decode seam (kept as-is here). Shows the pattern of typed

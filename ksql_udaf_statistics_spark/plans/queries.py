@@ -529,6 +529,59 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.05)
 
 
+@register("dedup_stream_minhash")
+def q_dedup_stream_minhash(spark, sf_dir):
+    """Streaming near-dup GATE (r5): the documents table replayed as a
+    2-batch stream (ts synthesized from doc_id) through the
+    watermark-bounded MinHash/LSH dedup (streaming/neardup.py —
+    applyInPandasWithState keyed by (band, bucket), EventTimeTimeout
+    state eviction, per-doc verdict in foreachBatch, exactly-once sink).
+    Returns the KEPT (doc_id, ts) rows. rows-only BY NATURE (xxhash64
+    banding); its verified twin is pytest parity with the exact batch
+    twin minhash_dedup_batch on the drained corpus
+    (tests/test_neardup.py) plus the cross-batch drop/eviction tests."""
+    import shutil
+    import tempfile
+
+    from ..streaming.neardup import run_stream_minhash_dedup
+    from ..streaming.sink import ExactlyOnceParquetSink
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("doc_id").cast("long")
+        ).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="kuss_streamdedup_")
+    try:
+        src = os.path.join(work, "src")
+        # two files -> two micro-batches (maxFilesPerTrigger=1): the gate
+        # exercises cross-batch bucket state, not just one batch.
+        # Range-partitioned on ts so file/processing order == event-time
+        # order == the batch twin's arrival order (deterministic output)
+        docs.repartitionByRange(2, F.col("ts")).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = ExactlyOnceParquetSink(
+            os.path.join(work, "kept"), key_cols=["doc_id"]
+        )
+        q = run_stream_minhash_dedup(
+            stream, sink, os.path.join(work, "ckpt"),
+            watermark="24 hours", num_hashes=32, bands=16,
+        )
+        q.awaitTermination(240)
+        # materialize before the tempdir vanishes
+        rows = sink.read_current(spark).select("doc_id").orderBy("doc_id")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("dedup_simhash")
 def q_dedup_simhash(spark, sf_dir):
     """rows-only BY NATURE: the output column hamming is a distance
@@ -1208,6 +1261,59 @@ def q_multimodal_feature_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_media"),
         F.sum("payload_bytes").cast("long").alias("total_bytes"),
         round6(F.avg(F.element_at("features", 1).cast("double"))).alias("mean_feat0"),
+    )
+
+
+@register(
+    "ppm_image_stats",
+    """WITH s AS (
+         SELECT source, CAST(doc_id AS BIGINT) AS d,
+                8 + CAST(doc_id AS BIGINT) % 9 AS w,
+                6 + CAST(doc_id AS BIGINT) % 7 AS h
+         FROM documents),
+       px AS (
+         SELECT source, d, unnest(generate_series(0, w*h*3 - 1)) AS p
+         FROM s),
+       v AS (
+         SELECT source, d, (d*13 + p*5) % 256 AS val FROM px),
+       agg AS (
+         SELECT source, count(DISTINCT d) AS n_images,
+                count(*) AS total_subpixels,
+                (ROUND(sum(val) * 1.0 / count(*), 6) + 0.0) AS mean_pixel,
+                CAST(max(val) AS BIGINT) AS max_pixel
+         FROM v GROUP BY source),
+       dims AS (
+         SELECT source, (ROUND(avg(w), 6) + 0.0) AS mean_width,
+                (ROUND(avg(h), 6) + 0.0) AS mean_height
+         FROM s GROUP BY source)
+       SELECT agg.source, n_images, total_subpixels, mean_pixel,
+              max_pixel, mean_width, mean_height
+       FROM agg JOIN dims ON agg.source = dims.source""",
+)
+def q_ppm_image_stats(spark, sf_dir):
+    """Drives the REAL image decode path end-to-end (the r5 mirror of
+    wav_audio_stats): deterministic binary-PPM (P6) payloads per document
+    (operators/multimodal.py::synthesize_ppm_media), decoded by the
+    pure-numpy PPM parser (decode_ppm — actual header parse + pixel
+    plane), aggregated per source. Pixel values and dimensions follow
+    closed forms the DuckDB oracle recomputes from first principles, so a
+    hash match proves header writing, header parsing, pixel extraction
+    and the Arrow aggregation all agree. Integer sums keep the one final
+    division bit-identical across engines; mean width/height prove the
+    header parse specifically."""
+    from ..operators import multimodal as M
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    stats = M.image_stats(M.synthesize_ppm_media(docs))
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_subpixels").alias("total_subpixels"),
+        round6(F.sum("px_sum") / F.sum("n_subpixels")).alias("mean_pixel"),
+        F.max("px_max").alias("max_pixel"),
+        round6(F.avg("width")).alias("mean_width"),
+        round6(F.avg("height")).alias("mean_height"),
     )
 
 

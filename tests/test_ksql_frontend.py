@@ -6,6 +6,7 @@ numbers back. Golden values come from the reference's unit tests
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from ksql_udaf_statistics_spark.frontend import KsqlEngine
 
@@ -570,3 +571,194 @@ def test_csas_stream_stream_join_within(engine):
     )
     rows = engine.execute("SELECT * FROM match_counts;")
     assert [(r["oid"], r["n"]) for r in rows] == [(1, 1)]
+
+
+def test_csas_partition_by_rekeys_stream(engine, spark):
+    """r5 PARTITION BY: the derived stream is physically re-keyed (each
+    written file holds rows of keys hashed to one partition — a key never
+    straddles two files of one batch), the key is recorded on the stream,
+    a downstream CTAS grouping on the new key matches the DataFrame twin."""
+    import glob
+    import os
+    from collections import defaultdict
+
+    engine.execute(
+        "CREATE STREAM clicks (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='clicks', value_format='json');"
+    )
+    data = [("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 4.0), ("b", 5.0),
+            ("a", 6.0)]
+    for k, v in data:
+        engine.execute(f"INSERT INTO clicks (k, val) VALUES ('{k}', {v});")
+    engine.execute(
+        "CREATE STREAM rekeyed AS SELECT k, val FROM clicks "
+        "PARTITION BY k EMIT CHANGES;"
+    )
+    assert engine.streams["rekeyed"].key_col == "k"
+    engine.execute(
+        "CREATE TABLE by_key AS SELECT k AS k, COUNT(*) AS n, "
+        "SUM(val) AS total FROM rekeyed GROUP BY k EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM by_key;")
+    # DataFrame twin
+    twin = {
+        (r["k"], r["n"], r["total"])
+        for r in spark.createDataFrame(data, "k string, val double")
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("val").alias("total")).collect()
+    }
+    assert {(r["k"], r["n"], r["total"]) for r in rows} == twin
+    # physical re-key: within the drained batch, each key lives in
+    # exactly one parquet file
+    files = glob.glob(os.path.join(engine.streams["rekeyed"].path,
+                                   "part-*.parquet"))
+    assert files
+    key_files = defaultdict(set)
+    for f in files:
+        for r in spark.read.parquet(f).collect():
+            key_files[r["k"]].add(f)
+    assert all(len(fs) == 1 for fs in key_files.values())
+
+
+def test_csas_partition_by_unknown_column_rejected(engine):
+    engine.execute(
+        "CREATE STREAM src1 (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='src1', value_format='json');"
+    )
+    with pytest.raises(Exception, match="PARTITION BY"):
+        engine.execute(
+            "CREATE STREAM bad AS SELECT val FROM src1 PARTITION BY k;"
+        )
+
+
+def test_table_table_join_updates_across_refreshes(engine):
+    """r5 table-table join: ksqlDB changelog join served at read time —
+    INNER and LEFT variants, with BOTH parent tables updating between
+    pulls and the join reflecting each side's current state."""
+    engine.execute(
+        "CREATE STREAM s1 (k VARCHAR, v DOUBLE) "
+        "WITH (kafka_topic='s1', value_format='json');"
+        "CREATE STREAM s2 (k VARCHAR, w DOUBLE) "
+        "WITH (kafka_topic='s2', value_format='json');"
+    )
+    engine.execute(
+        "INSERT INTO s1 (k, v) VALUES ('a', 1.0);"
+        "INSERT INTO s1 (k, v) VALUES ('a', 2.0);"
+        "INSERT INTO s1 (k, v) VALUES ('b', 3.0);"
+        "INSERT INTO s2 (k, w) VALUES ('a', 10.0);"
+    )
+    engine.execute(
+        "CREATE TABLE t1 AS SELECT k AS k, COUNT(*) AS n1 "
+        "FROM s1 GROUP BY k EMIT CHANGES;"
+        "CREATE TABLE t2 AS SELECT k AS k, COUNT(*) AS n2 "
+        "FROM s2 GROUP BY k EMIT CHANGES;"
+        "CREATE TABLE joined AS SELECT t1.k, n1, n2 "
+        "FROM t1 JOIN t2 ON t1.k = t2.k;"
+        "CREATE TABLE joined_left AS SELECT t1.k, n1, n2 "
+        "FROM t1 LEFT JOIN t2 ON t1.k = t2.k;"
+    )
+    rows = engine.execute("SELECT * FROM joined;")
+    assert [(r["k"], r["n1"], r["n2"]) for r in rows] == [("a", 2, 1)]
+    rows = engine.execute("SELECT * FROM joined_left;")
+    assert sorted((r["k"], r["n1"], r["n2"]) for r in rows) == [
+        ("a", 2, 1), ("b", 1, None)]
+    # both sides update: new key on both; existing keys grow
+    engine.execute(
+        "INSERT INTO s1 (k, v) VALUES ('c', 7.0);"
+        "INSERT INTO s2 (k, w) VALUES ('c', 8.0);"
+        "INSERT INTO s2 (k, w) VALUES ('a', 11.0);"
+        "INSERT INTO s2 (k, w) VALUES ('b', 12.0);"
+    )
+    rows = engine.execute("SELECT * FROM joined;")
+    assert sorted((r["k"], r["n1"], r["n2"]) for r in rows) == [
+        ("a", 2, 2), ("b", 1, 1), ("c", 1, 1)]
+
+
+def test_windowed_ctas_over_timestampless_csas_fails_at_create(engine):
+    """ADVICE r4: a CSAS that drops the source timestamp registers with
+    ts_col=None; a windowed CTAS over it must fail at CREATE time with a
+    parse error naming the fix, not an opaque Py4J error at refresh."""
+    engine.execute(
+        "CREATE STREAM evt (val DOUBLE, et TIMESTAMP) "
+        "WITH (kafka_topic='evt', value_format='json', timestamp='et');"
+    )
+    engine.execute("CREATE STREAM no_ts AS SELECT val FROM evt;")
+    with pytest.raises(Exception, match="timestamp"):
+        engine.execute(
+            "CREATE TABLE w AS SELECT COUNT(*) AS n FROM no_ts "
+            "WINDOW TUMBLING (SIZE 1 MINUTE) GROUP BY 'x' EMIT CHANGES;"
+        )
+
+
+def test_drop_derived_stream_clears_engine_state(engine):
+    """ADVICE r4: DROP STREAM on a derived (CSAS) stream removes its
+    parquet output and checkpoint even without DELETE TOPIC — a
+    re-created same-named CSAS starts fresh instead of inheriting stale
+    rows/file-sink state (observable here: the new transform doubles
+    values; stale rows would carry the old untransformed values)."""
+    engine.execute(
+        "CREATE STREAM base (val DOUBLE) "
+        "WITH (kafka_topic='base', value_format='json');"
+        "INSERT INTO base (val) VALUES (1.0);"
+        "INSERT INTO base (val) VALUES (2.0);"
+        "CREATE STREAM derived2 AS SELECT val FROM base;"
+        "CREATE TABLE tot AS SELECT 'x' AS id, SUM(val) AS s "
+        "FROM derived2 GROUP BY 'x' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM tot;")
+    assert rows[0]["s"] == 3.0
+    engine.execute("DROP TABLE tot DELETE TOPIC; DROP STREAM derived2;")
+    engine.execute(
+        "INSERT INTO base (val) VALUES (4.0);"
+        "CREATE STREAM derived2 AS SELECT val * 2 AS val FROM base;"
+        "CREATE TABLE tot2 AS SELECT 'x' AS id, SUM(val) AS s "
+        "FROM derived2 GROUP BY 'x' EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM tot2;")
+    assert rows[0]["s"] == 14.0  # (1+2+4)*2 — no stale untransformed rows
+
+
+def test_qualified_select_item_without_as_gets_base_alias(engine):
+    """ADVICE r4: SELECT o.val FROM src o (no AS) must yield output
+    column 'val', not the dotted literal 'o.val'."""
+    engine.execute(
+        "CREATE STREAM qsrc (val DOUBLE) "
+        "WITH (kafka_topic='qsrc', value_format='json');"
+        "INSERT INTO qsrc (val) VALUES (5.0);"
+        "CREATE STREAM qsel AS SELECT o.val FROM qsrc o;"
+    )
+    assert engine.streams["qsel"].schema.names == ["val"]
+
+
+def test_scalar_functions_in_dialect(engine):
+    """r5 scalar functions: ABS/ROUND/POWER/UPPER/COALESCE etc. compile
+    to Spark builtins anywhere an expression is accepted."""
+    engine.execute(
+        "CREATE STREAM fx (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='fx', value_format='json');"
+        "INSERT INTO fx (k, val) VALUES ('a', -2.0);"
+        "INSERT INTO fx (k, val) VALUES ('a', 3.5);"
+        "INSERT INTO fx (k, val) VALUES ('b', -1.25);"
+    )
+    engine.execute(
+        "CREATE STREAM fx2 AS SELECT UPPER(k) AS ku, ABS(val) AS av, "
+        "ROUND(POWER(val, 2), 2) AS sq, COALESCE(val, 0) AS v "
+        "FROM fx WHERE ABS(val) > 1 EMIT CHANGES;"
+        "CREATE TABLE fx_tot AS SELECT ku AS ku, SUM(av) AS s, "
+        "MAX(sq) AS m FROM fx2 GROUP BY ku EMIT CHANGES;"
+    )
+    rows = {r["ku"]: r for r in engine.execute("SELECT * FROM fx_tot;")}
+    assert rows["A"]["s"] == 5.5
+    assert rows["A"]["m"] == 12.25
+    assert rows["B"]["s"] == 1.25
+    # aggregate over a scalar-transformed argument
+    engine.execute(
+        "CREATE TABLE fx_skew AS SELECT 'x' AS id, "
+        "SKEWNESS(ABS(val)) AS sk FROM fx GROUP BY 'x' EMIT CHANGES;"
+    )
+    r = engine.execute("SELECT * FROM fx_skew;")
+    assert r and isinstance(r[0]["sk"], float)
+    with pytest.raises(Exception, match="unknown scalar function"):
+        engine.execute(
+            "CREATE STREAM nope AS SELECT FROBNICATE(val) AS x FROM fx;"
+        )

@@ -1,0 +1,131 @@
+"""Streaming MinHash/LSH near-duplicate gate (streaming/neardup.py).
+
+Covers the r5 gate contract: a cross-batch near-duplicate of an earlier
+document is dropped exactly once; the drained stream equals the batch
+twin (same claims-are-unconditional semantics); bucket state is
+watermark-bounded (EventTimeTimeout eviction), so a duplicate arriving
+far beyond the horizon is kept — the documented bounded-state trade.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_udaf_statistics_spark.streaming.neardup import (
+    duration_to_ms,
+    minhash_dedup_batch,
+    run_stream_minhash_dedup,
+)
+from ksql_udaf_statistics_spark.streaming.sink import ExactlyOnceParquetSink
+
+WORDS = [f"w{i}" for i in range(60)]
+
+
+def _doc(doc_id, ts, words):
+    return (doc_id, " ".join(words), ts)
+
+
+def _near(words, tag):
+    # change the last word: ~55/61 shingle Jaccard (~0.9) — collides in
+    # at least one of 16 two-row bands with overwhelming probability,
+    # and deterministically identical between stream and batch twin
+    return words[:-1] + [tag]
+
+
+SCHEMA = "doc_id string, text string, ts string"
+
+
+def _stage(spark, tmp_dir, src, batches):
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        staged = os.path.join(tmp_dir, f"stage{i}")
+        spark.createDataFrame(rows, SCHEMA).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:02d}.parquet"))
+        shutil.rmtree(staged)
+
+
+def _run(spark, tmp_dir, src, watermark="1 hour"):
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "kept"), key_cols=["doc_id"]
+    )
+    q = run_stream_minhash_dedup(
+        stream, sink, os.path.join(tmp_dir, "ckpt"), watermark=watermark
+    )
+    q.awaitTermination(180)
+    return sink
+
+
+def test_duration_to_ms():
+    assert duration_to_ms("1 hour") == 3_600_000
+    assert duration_to_ms("10 minutes") == 600_000
+    with pytest.raises(ValueError):
+        duration_to_ms("next tuesday")
+
+
+def test_stream_near_dups_dropped_and_matches_batch_twin(spark, tmp_dir):
+    a, b = WORDS, WORDS[30:] + WORDS[:25]  # b shares no 3-shingle run order
+    batch1 = [_doc("a", "2024-01-01 00:00:00", a),
+              _doc("b", "2024-01-01 00:01:00", b)]
+    batch2 = [_doc("a2", "2024-01-01 00:02:00", _near(a, "xa")),  # near-dup of a
+              _doc("c", "2024-01-01 00:03:00", list(reversed(WORDS))),
+              _doc("b2", "2024-01-01 00:04:00", _near(b, "xb"))]  # near-dup of b
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, tmp_dir, src, [batch1, batch2])
+
+    sink = _run(spark, tmp_dir, src)
+    kept = {r["doc_id"] for r in sink.read_current(spark).collect()}
+    assert kept == {"a", "b", "c"}  # cross-batch near-dups dropped once
+
+    # drained stream == batch twin (same semantics, same banding)
+    batch_docs = spark.createDataFrame(batch1 + batch2, SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    twin = {r["doc_id"] for r in minhash_dedup_batch(batch_docs).collect()}
+    assert kept == twin
+
+
+def test_exact_redelivery_dropped_within_batch_and_across(spark, tmp_dir):
+    a = WORDS
+    batch1 = [_doc("a", "2024-01-01 00:00:00", a),
+              _doc("a_dup_same_batch", "2024-01-01 00:00:30", a)]
+    batch2 = [_doc("a_dup_next_batch", "2024-01-01 00:01:00", a)]
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, tmp_dir, src, [batch1, batch2])
+    sink = _run(spark, tmp_dir, src)
+    kept = {r["doc_id"] for r in sink.read_current(spark).collect()}
+    assert kept == {"a"}
+
+
+def test_bucket_state_evicts_past_watermark(spark, tmp_dir):
+    """Bounded state: after the watermark passes a bucket's eviction
+    timestamp in a batch where the bucket sees no traffic, its state is
+    removed — a duplicate arriving later is kept (the documented trade;
+    memory stays bounded by the horizon's traffic)."""
+    a = WORDS
+    other1 = WORDS[20:] + WORDS[:15]
+    other2 = list(reversed(WORDS))
+    batches = [
+        [_doc("a", "2024-01-01 00:00:00", a)],
+        # advances the watermark far past a's buckets' timeout...
+        [_doc("d", "2024-01-02 00:00:00", other1)],
+        # ...so THIS batch's timeout pass evicts them (no traffic on them)
+        [_doc("e", "2024-01-02 00:01:00", other2)],
+        # beyond-horizon duplicate: bucket state is gone -> kept
+        [_doc("a_late_dup", "2024-01-02 00:02:00", a)],
+    ]
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, tmp_dir, src, batches)
+    sink = _run(spark, tmp_dir, src, watermark="10 minutes")
+    kept = {r["doc_id"] for r in sink.read_current(spark).collect()}
+    assert kept == {"a", "d", "e", "a_late_dup"}

@@ -465,3 +465,36 @@ def test_repetition_ratio(spark):
         "doc_id", T.repetition_ratio(F.col("text")).alias("r")).collect()}
     assert got[2] == 0.0
     assert got[1] > 0.8
+
+
+def test_image_stats_via_real_decoder(spark):
+    """synthesize_ppm_media -> image_stats drives the real PPM parser in
+    Arrow batches (r5 image mirror of the WAV gate); verify against a
+    driver-side numpy oracle."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(d, f"src{d % 3}") for d in range(30)], "doc_id long, source string"
+    )
+    out = {r["media_id"]: r for r in
+           MM.image_stats(MM.synthesize_ppm_media(docs)).collect()}
+    assert len(out) == 30
+    for d in range(30):
+        w, h = 8 + d % 9, 6 + d % 7
+        p = np.arange(w * h * 3, dtype=np.int64)
+        px = (d * 13 + p * 5) % 256
+        r = out[str(d)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_subpixels"] == w * h * 3
+        assert r["px_sum"] == int(px.sum())
+        assert r["px_max"] == int(px.max())
+
+
+def test_ppm_decoder_handles_comments():
+    """PPM headers may carry comment lines between fields."""
+    import numpy as np
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n# another\n255\n" + pix.tobytes()
+    back = MM.decode_ppm(payload)
+    assert (back == pix).all()
