@@ -611,13 +611,15 @@ class KsqlEngine:
             raise KsqlParseError(f"cannot parse CSAS: {stmt[:80]!r}")
         name = m.group(1).lower()
         sel = m.group(3)
-        _KW = r"JOIN|LEFT|WHERE|EMIT|ON|WITHIN|PARTITION"
+        _KW = r"JOIN|LEFT|WHERE|EMIT|ON|WITHIN|PARTITION|GRACE"
         q = re.match(
             r"SELECT\s+(.*?)\s+FROM\s+(\w+)"
             rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?\s*"
             r"(?:(LEFT\s+(?:OUTER\s+)?)?JOIN\s+(\w+)"
             rf"(?:\s+(?:AS\s+)?(?!(?:{_KW})\b)(\w+))?"
-            r"\s+WITHIN\s+(\d+)\s+(\w+)\s+ON\s+(.*?)\s*?)?"
+            r"\s+WITHIN\s+(\d+)\s+(\w+)"
+            r"(?:\s+GRACE\s+PERIOD\s+(\d+)\s+(\w+))?"
+            r"\s+ON\s+(.*?)\s*?)?"
             r"(?:\s*WHERE\s+(.*?)\s*)?"
             r"(?:PARTITION\s+BY\s+(\w+(?:\.\w+)?)\s*)?"
             r"(?:EMIT\s+CHANGES)?\s*$",
@@ -641,18 +643,24 @@ class KsqlEngine:
             cols = self._join_on_sides(
                 (q.group(3) or source).lower(),
                 (q.group(6) or other).lower(),
-                q.group(9),
+                q.group(11),
             )
             join = {
                 "stream": other,
                 "kind": "left_outer" if q.group(4) else "inner",
                 "left_col": cols[0], "right_col": cols[1],
                 "within": _duration(q.group(7), q.group(8)),
+                # ksqlDB GRACE PERIOD on a windowed join: extra lateness
+                # allowed on BOTH sides before join state evicts — the
+                # watermark delay becomes within + grace while the match
+                # bound stays within
+                "grace": _duration(q.group(9), q.group(10))
+                if q.group(9) else None,
             }
-        where = q.group(10)
+        where = q.group(12)
         if where:
             parse_predicate(where)
-        partition_by = q.group(11).lower().split(".")[-1] if q.group(11) else None
+        partition_by = q.group(13).lower().split(".")[-1] if q.group(13) else None
         spec = CsasSpec(
             name=name, source=source, select=select_list, where=where,
             join=join,
@@ -720,9 +728,15 @@ class KsqlEngine:
             if rcol != lcol:
                 right = right.withColumnRenamed(rcol, lcol)
             w = spec.join["within"]
+            wm = w
+            if spec.join.get("grace"):
+                from ..streaming.neardup import duration_to_ms
+
+                wm_ms = duration_to_ms(w) + duration_to_ms(spec.join["grace"])
+                wm = f"{wm_ms} milliseconds"
             df = interval_join(
                 df, right, on=lcol, left_ts=l_ts, right_ts=r_ts,
-                watermark_left=w, watermark_right=w,
+                watermark_left=wm, watermark_right=wm,
                 lower=w, upper=w, how=spec.join["kind"],
             )
         if spec.where:
@@ -1238,6 +1252,10 @@ class KsqlEngine:
         e = expr.strip()
         if e.startswith("'") and e.endswith("'"):
             return F.lit(e[1:-1])
+        if re.fullmatch(r"\d+\.?\d*|\.\d+", e):
+            # bare numeric literal (e.g. a constant UDAF weight arg) —
+            # must not fall into the column branch (\w+ matches digits)
+            return F.lit(float(e) if "." in e else int(e))
         if re.fullmatch(r"\w+", e):
             return F.col(e.lower())
         # arithmetic over columns/literals: val * 2, (a + b) / 2, ...

@@ -34,6 +34,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     sf0.1). At production scale the scan already has >= defaultParallelism
     partitions and this is a no-op, so no extra shuffle is introduced.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's concern (file splits /
+        # Kafka partitions); .rdd is not even defined pre-start
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -261,6 +261,70 @@ def q_tumbling(spark, sf_dir):
 
 
 @register(
+    "ksql_e2e_windowed_stats",
+    """WITH s AS (
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n, sum(value) AS s1,
+                sum(value*value) AS s2, sum(value*value*value) AS s3,
+                (ROUND(skewness(value), 6) + 0.0) AS skew_sample,
+                (ROUND(stddev_pop(value), 6) + 0.0) AS stddev_pop
+         FROM events GROUP BY 1, 2)
+       SELECT window_start, event_type, n AS n_rows,
+              (ROUND(CASE WHEN (s2/n - (s1/n)*(s1/n)) <= 0 THEN 0.0
+                     ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                          / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 6) + 0.0)
+                AS skew_pop,
+              skew_sample, stddev_pop
+       FROM s""",
+)
+def q_ksql_e2e_windowed_stats(spark, sf_dir):
+    """r5: the ksqlDB FRONT-END inside the correctness gate. The events
+    table is bulk-produced as JSON lines into a declared stream (the
+    value_format='json' wire contract — full-precision double round-trip,
+    ISO timestamps through from_json), then the reference's continuous-
+    query shape runs as actual ksql SQL (CREATE STREAM / windowed CTAS
+    with WINDOWSTART + UDAF init-arg dispatch / pull query) through
+    KsqlEngine: parse -> streaming aggregation -> exactly-once sink ->
+    pull, and the pulled rows must hash-match DuckDB computing the same
+    statistics from the parquet directly. Proves the whole dialect path
+    end-to-end, not just the operators under it."""
+    import tempfile
+
+    from ..frontend import KsqlEngine
+
+    work = tempfile.mkdtemp(prefix="kuss_ksql_e2e_")
+    eng = KsqlEngine(spark, work)
+    eng.execute(
+        "CREATE STREAM ev (ts TIMESTAMP, event_type VARCHAR, value DOUBLE) "
+        "WITH (kafka_topic='ev', value_format='json', timestamp='ts');"
+    )
+    _load(spark, sf_dir, "events").select("ts", "event_type", "value") \
+        .coalesce(4).write.mode("append").json(eng.streams["ev"].path)
+    eng.execute(
+        "CREATE TABLE ev_stats AS SELECT WINDOWSTART AS window_start, "
+        "event_type AS event_type, COUNT(*) AS n_rows, "
+        "SKEWNESS(value) AS skew_pop, SKEWNESS(value, true) AS skew_sample, "
+        "STDDEV_WEIGHTED(value, 1) AS stddev_pop "
+        "FROM ev WINDOW TUMBLING (SIZE 1 HOURS) "
+        "GROUP BY event_type EMIT CHANGES;"
+    )
+    rows = eng.execute("SELECT * FROM ev_stats;")
+    out = spark.createDataFrame(
+        [(r["window_start"], r["event_type"], r["n_rows"], r["skew_pop"],
+          r["skew_sample"], r["stddev_pop"]) for r in rows],
+        "window_start timestamp, event_type string, n_rows long, "
+        "skew_pop double, skew_sample double, stddev_pop double",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_rows",
+        round6(F.col("skew_pop")).alias("skew_pop"),
+        round6(F.col("skew_sample")).alias("skew_sample"),
+        round6(F.col("stddev_pop")).alias("stddev_pop"),
+    )
+
+
+@register(
     "sliding_window_stats",
     f"""WITH slid AS (
          SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/1800) * 1800 - o.off) * 1000 AS BIGINT)) AS ws
@@ -540,6 +604,7 @@ def q_dedup_stream_minhash(spark, sf_dir):
     banding); its verified twin is pytest parity with the exact batch
     twin minhash_dedup_batch on the drained corpus
     (tests/test_neardup.py) plus the cross-batch drop/eviction tests."""
+    import os
     import shutil
     import tempfile
 

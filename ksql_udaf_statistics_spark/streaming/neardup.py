@@ -160,7 +160,11 @@ def stream_minhash_decisions(
                 if cand < owner:
                     owner = cand  # late-data refinement for later batches
         state.update(owner)
-        state.setTimeoutTimestamp(int(ts_ms.max()) + ttl_ms)
+        # eviction at (bucket's latest traffic + ttl); Spark requires the
+        # timeout to sit beyond the current watermark, which can overtake
+        # a bucket fed only by late-but-not-dropped rows
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(ts_ms.max()) + ttl_ms, wm + 1))
         yield pd.DataFrame({
             "doc_id": rows["doc_id"], "ts": rows["ts"],
             "collided": out_collided,

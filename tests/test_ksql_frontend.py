@@ -762,3 +762,32 @@ def test_scalar_functions_in_dialect(engine):
         engine.execute(
             "CREATE STREAM nope AS SELECT FROBNICATE(val) AS x FROM fx;"
         )
+
+
+def test_csas_join_within_grace_period(engine):
+    """r5: WITHIN n UNIT GRACE PERIOD m UNIT parses; the grace widens the
+    join-state watermark (within + grace) while the match bound stays
+    WITHIN — in-window matches are unchanged."""
+    engine.execute(
+        "CREATE STREAM gord (oid BIGINT, ots TIMESTAMP) "
+        "WITH (kafka_topic='gord', value_format='json', timestamp='ots');"
+        "CREATE STREAM gshp (sid BIGINT, gts TIMESTAMP) "
+        "WITH (kafka_topic='gshp', value_format='json', timestamp='gts');"
+        "INSERT INTO gord (oid, ots) VALUES (1, '2024-01-01 00:00:00');"
+        "INSERT INTO gshp (sid, gts) VALUES (1, '2024-01-01 00:05:00');"
+        "INSERT INTO gshp (sid, gts) VALUES (1, '2024-01-01 00:30:00');"
+    )
+    engine.execute(
+        "CREATE STREAM gmatched AS SELECT o.oid AS oid, o.ots AS ots "
+        "FROM gord o JOIN gshp s WITHIN 10 MINUTES GRACE PERIOD 20 MINUTES "
+        "ON o.oid = s.sid EMIT CHANGES;"
+    )
+    assert engine.derived["gmatched"].join["grace"] == "20 minutes"
+    engine.execute(
+        "CREATE TABLE gcounts AS SELECT oid AS oid, COUNT(*) AS n "
+        "FROM gmatched GROUP BY oid EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM gcounts;")
+    # only the in-WITHIN shipment matches; the :30 one is outside the
+    # match bound regardless of grace
+    assert [(r["oid"], r["n"]) for r in rows] == [(1, 1)]

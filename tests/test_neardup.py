@@ -74,11 +74,15 @@ def test_duration_to_ms():
 
 
 def test_stream_near_dups_dropped_and_matches_batch_twin(spark, tmp_dir):
-    a, b = WORDS, WORDS[30:] + WORDS[:25]  # b shares no 3-shingle run order
+    # disjoint word alphabets: rotations of ONE alphabet share almost all
+    # 3-shingles (run order is preserved), so unrelated docs must use
+    # different vocabularies entirely
+    a = WORDS
+    b = [f"x{i}" for i in range(55)]
     batch1 = [_doc("a", "2024-01-01 00:00:00", a),
               _doc("b", "2024-01-01 00:01:00", b)]
     batch2 = [_doc("a2", "2024-01-01 00:02:00", _near(a, "xa")),  # near-dup of a
-              _doc("c", "2024-01-01 00:03:00", list(reversed(WORDS))),
+              _doc("c", "2024-01-01 00:03:00", [f"y{i}" for i in range(50)]),
               _doc("b2", "2024-01-01 00:04:00", _near(b, "xb"))]  # near-dup of b
     src = os.path.join(tmp_dir, "src")
     _stage(spark, tmp_dir, src, [batch1, batch2])
@@ -113,8 +117,8 @@ def test_bucket_state_evicts_past_watermark(spark, tmp_dir):
     removed — a duplicate arriving later is kept (the documented trade;
     memory stays bounded by the horizon's traffic)."""
     a = WORDS
-    other1 = WORDS[20:] + WORDS[:15]
-    other2 = list(reversed(WORDS))
+    other1 = [f"x{i}" for i in range(55)]
+    other2 = [f"y{i}" for i in range(50)]
     batches = [
         [_doc("a", "2024-01-01 00:00:00", a)],
         # advances the watermark far past a's buckets' timeout...
