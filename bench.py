@@ -118,6 +118,7 @@ HEADLINE = [
     "repetition_profile",
     "lang_id_counts",
     "quality_filter",
+    "sequence_packing_stats",
 ]
 
 

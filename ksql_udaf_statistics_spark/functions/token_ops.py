@@ -141,3 +141,42 @@ def with_token_stats_hof(df: DataFrame) -> DataFrame:
         .withColumn("token_max", F.array_max(tokd))
         .withColumn("token_min", F.array_min(tokd))
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    seq_len: int = 2048,
+    order_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated in ``order_col`` order within
+    each ``part_col`` partition and chunked into fixed ``seq_len``-token
+    training sequences. Returns one row per document with its byte-exact
+    placement: ``start_tok`` (exclusive prefix sum of n_tok),
+    ``first_seq``/``last_seq`` (chunk ids) and ``spans_boundary``.
+
+    Scale shape: the prefix sum is a window per ``part_col`` — parallel
+    across partitions (sources/domains, the realistic packing unit:
+    pipelines pack within a domain so mixing weights stay adjustable),
+    skew-bounded by the largest one. A GLOBAL packing order at 100 TB
+    uses the classic two-pass distributed prefix sum instead (per-file
+    partial sums -> driver carries ~num_files offsets -> per-row cumsum
+    + offset); the per-document arithmetic below is identical.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    first_seq = F.floor(F.col("start_tok") / seq_len)
+    last_seq = F.floor((F.col("start_tok") + F.col("n_tok") - 1) / seq_len)
+    return (
+        df.withColumn("start_tok", start)
+        .withColumn("first_seq", first_seq)
+        .withColumn("last_seq", last_seq)
+        .withColumn("spans_boundary", F.col("last_seq") > F.col("first_seq"))
+    )

@@ -1330,6 +1330,59 @@ def q_multimodal_feature_stats(spark, sf_dir):
 
 
 @register(
+    "sequence_packing_stats",
+    """WITH tok AS (
+         SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT source, doc_id, n_tok,
+                COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_tok
+         FROM tok)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(ceil(sum(n_tok) * 1.0 / 512) AS BIGINT) AS n_sequences,
+              CAST(CAST(ceil(sum(n_tok) * 1.0 / 512) AS BIGINT) * 512
+                   - sum(n_tok) AS BIGINT) AS waste_tokens,
+              CAST(sum(CASE WHEN (start_tok + n_tok - 1) // 512
+                                  > start_tok // 512
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boundary_docs
+       FROM c GROUP BY source""",
+)
+def q_sequence_packing_stats(spark, sf_dir):
+    """Concat-and-chunk packing layout stats per source (r5): how many
+    fixed-length training sequences each domain yields, the padding
+    waste of the final chunk, and how many documents straddle a chunk
+    boundary (the attention-mask / document-leakage concern) — computed
+    from the exact per-document placement (functions/token_ops.py::
+    sequence_packing, windowed prefix sum per source). seq_len=512 keeps
+    the boundary count non-vacuous at test scale."""
+    from ..functions.token_ops import sequence_packing
+
+    # numeric doc_id for the packing order: the parquet column is BIGINT
+    # and the oracle's ORDER BY is numeric — a string cast would order
+    # "10" before "9" and shift every boundary after the first mismatch
+    tok = _load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+    )
+    L = 512
+    placed = sequence_packing(tok, seq_len=L)
+    total = F.sum(F.col("n_tok").cast("long"))
+    n_seq = F.ceil(total / F.lit(float(L))).cast("long")
+    return placed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        (n_seq * L - total).alias("waste_tokens"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_boundary_docs"),
+    )
+
+
+@register(
     "ppm_image_stats",
     """WITH s AS (
          SELECT source, CAST(doc_id AS BIGINT) AS d,
