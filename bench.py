@@ -152,9 +152,13 @@ def host_probe() -> dict:
     out = {"n_procs": CPUS}
     for name, fn in (("cpu", _probe_burn), ("mem", _probe_memburn)):
         t0 = time.perf_counter()
+        # one wave: tasks/sec normalizes per task, so fewer waves keep
+        # the reading comparable while bounding probe cost in a starved
+        # window (measured: the mem kernel alone can take >60s when the
+        # host DRAM is at ~1% of clean)
         with mp.Pool(CPUS) as p:
-            p.map(fn, range(CPUS * 2))
-        thr = CPUS * 2 / (time.perf_counter() - t0)
+            p.map(fn, range(CPUS))
+        thr = CPUS / (time.perf_counter() - t0)
         out[f"{name}_tasks_per_sec"] = round(thr, 3)
         out[f"{name}_tasks_per_sec_per_proc"] = round(thr / CPUS, 4)
     out["clean_cpu_per_proc_reference"] = PROBE_CLEAN_CPU_PER_PROC

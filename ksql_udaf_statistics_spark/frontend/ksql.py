@@ -55,7 +55,7 @@ capabilities a ksqlDB user reaches next (r3/r4 additions):
   join, served as a read-time join of the two materialized tables
   (parents refresh first, so both sides' updates flow through every
   read; INNER/LEFT/FULL OUTER, the three kinds ksqlDB supports);
-- scalar functions (r5): ABS/ROUND/SQRT/EXP/LN/LOG10/FLOOR/CEIL/SIGN/
+- scalar functions + searched CASE WHEN (r5): ABS/ROUND/SQRT/EXP/LN/LOG10/FLOOR/CEIL/SIGN/
   POWER/UPPER/LOWER/TRIM/LEN/SUBSTRING/CONCAT/COALESCE/IFNULL/GREATEST/
   LEAST anywhere an expression is accepted (select items, WHERE/HAVING,
   UDAF arguments) — each compiles to the Spark builtin, JVM-side.
@@ -310,6 +310,8 @@ class _ExprParser:
             return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
         if t.upper() in ("TRUE", "FALSE"):
             return F.lit(t.upper() == "TRUE")
+        if t.upper() == "CASE":
+            return self._case()
         if re.fullmatch(r"[A-Za-z_]\w*(?:\.\w+)?", t):
             if self._peek() == "(":
                 return self._call(t)
@@ -318,6 +320,31 @@ class _ExprParser:
             # (the duplicate join key is dropped), so the suffix is unique
             return F.col(t.split(".")[-1].lower())
         raise KsqlParseError(f"unexpected token {t!r}")
+
+    def _case(self) -> Column:
+        """``CASE WHEN pred THEN expr [WHEN ...] [ELSE expr] END`` —
+        compiles to chained ``F.when`` (searched CASE, the form ksqlDB
+        supports; the classic ``SUM(CASE WHEN ... THEN 1 ELSE 0 END)``
+        conditional aggregation works anywhere an expression does)."""
+        branches: list[tuple[Column, Column]] = []
+        while (self._peek() or "").upper() == "WHEN":
+            self._next()
+            cond = self.predicate()
+            if self._next().upper() != "THEN":
+                raise KsqlParseError("expected THEN in CASE expression")
+            branches.append((cond, self.expr()))
+        if not branches:
+            raise KsqlParseError("CASE requires at least one WHEN branch")
+        default = None
+        if (self._peek() or "").upper() == "ELSE":
+            self._next()
+            default = self.expr()
+        if self._next().upper() != "END":
+            raise KsqlParseError("expected END closing CASE expression")
+        col = F.when(branches[0][0], branches[0][1])
+        for cond, val in branches[1:]:
+            col = col.when(cond, val)
+        return col.otherwise(default) if default is not None else col
 
     def _call(self, fname: str) -> Column:
         """Scalar function call ``f(arg, ...)`` — args are full

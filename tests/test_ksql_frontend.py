@@ -791,3 +791,33 @@ def test_csas_join_within_grace_period(engine):
     # only the in-WITHIN shipment matches; the :30 one is outside the
     # match bound regardless of grace
     assert [(r["oid"], r["n"]) for r in rows] == [(1, 1)]
+
+
+def test_case_when_expressions(engine):
+    """r5 CASE WHEN: searched CASE in select items and inside aggregate
+    arguments (conditional aggregation)."""
+    engine.execute(
+        "CREATE STREAM cw (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='cw', value_format='json');"
+        "INSERT INTO cw (k, val) VALUES ('a', 5.0);"
+        "INSERT INTO cw (k, val) VALUES ('a', -1.0);"
+        "INSERT INTO cw (k, val) VALUES ('b', 0.5);"
+        "INSERT INTO cw (k, val) VALUES ('b', 2.0);"
+    )
+    engine.execute(
+        "CREATE STREAM cw2 AS SELECT k, "
+        "CASE WHEN val > 1 THEN 'big' WHEN val > 0 THEN 'small' "
+        "ELSE 'neg' END AS bucket FROM cw EMIT CHANGES;"
+        "CREATE TABLE cw_counts AS SELECT bucket AS bucket, COUNT(*) AS n "
+        "FROM cw2 GROUP BY bucket EMIT CHANGES;"
+    )
+    rows = {r["bucket"]: r["n"] for r in engine.execute("SELECT * FROM cw_counts;")}
+    assert rows == {"big": 2, "small": 1, "neg": 1}
+    # conditional aggregation: CASE inside the aggregate argument
+    engine.execute(
+        "CREATE TABLE cw_pos AS SELECT k AS k, "
+        "SUM(CASE WHEN val > 0 THEN val ELSE 0 END) AS pos_sum "
+        "FROM cw GROUP BY k EMIT CHANGES;"
+    )
+    rows = {r["k"]: r["pos_sum"] for r in engine.execute("SELECT * FROM cw_pos;")}
+    assert rows == {"a": 5.0, "b": 2.5}
