@@ -1274,6 +1274,43 @@ def q_embedding_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantization_calibration",
+    """WITH e AS (
+         SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                unnest(embedding::DOUBLE[]) AS v
+         FROM embeddings)
+       SELECT CAST(pos AS BIGINT) AS pos,
+              (ROUND(min(v), 6) + 0.0) AS min_v,
+              (ROUND(max(v), 6) + 0.0) AS max_v,
+              (ROUND((max(v) - min(v)) / 255.0, 6) + 0.0) AS int8_scale,
+              (ROUND(avg(v), 6) + 0.0) AS mean_v
+       FROM e GROUP BY pos""",
+)
+def q_embedding_quantization_calibration(spark, sf_dir):
+    """Per-dimension int8 quantization calibration (r5): the min/max
+    range scan every embedding-compression pipeline runs before casting
+    vectors to int8 (scale = range/255, plus the mean for asymmetric
+    zero-point choices). Same 100 TB shape as embedding_centroids: one
+    posexplode collapsed by map-side partial min/max/avg into a hash
+    aggregation keyed by dimension — vectors never leave the executors,
+    and the result (n_dims rows) is broadcastable to the actual
+    quantization pass."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("v", F.col("v").cast("double"))
+        .groupBy("pos")
+        .agg(
+            round6(F.min("v")).alias("min_v"),
+            round6(F.max("v")).alias("max_v"),
+            round6((F.max("v") - F.min("v")) / 255.0).alias("int8_scale"),
+            round6(F.avg("v")).alias("mean_v"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 36-37: Arrow-pipeline gate queries — multimodal plumbing and token-array
 # reductions were pytest-only in r2; these put both in the driver's oracle
