@@ -429,6 +429,64 @@ class _ExprParser:
 
     def comparison(self) -> Column:
         left = self.expr()
+        nxt = (self._peek() or "").upper()
+        if nxt == "IS":
+            # IS [NOT] NULL
+            self._next()
+            neg = (self._peek() or "").upper() == "NOT"
+            if neg:
+                self._next()
+            if (self._next() or "").upper() != "NULL":
+                raise KsqlParseError("expected NULL after IS [NOT]")
+            return left.isNotNull() if neg else left.isNull()
+        neg = False
+        if nxt == "NOT":
+            save = self.i
+            self._next()
+            peek2 = (self._peek() or "").upper()
+            if peek2 in ("IN", "LIKE", "BETWEEN"):
+                neg, nxt = True, peek2
+            else:
+                self.i = save
+        if nxt == "IN":
+            self._next()
+            if self._next() != "(":
+                raise KsqlParseError("expected '(' after IN")
+            vals: list = []
+            while True:
+                t = self._next()
+                if t.startswith("'"):
+                    vals.append(t[1:-1])
+                elif re.fullmatch(r"\d+\.?\d*|\.\d+", t):
+                    vals.append(float(t) if "." in t else int(t))
+                else:
+                    raise KsqlParseError(
+                        f"IN list takes literals only, got {t!r}"
+                    )
+                sep = self._next()
+                if sep == ")":
+                    break
+                if sep != ",":
+                    raise KsqlParseError("expected ',' or ')' in IN list")
+            col = left.isin(vals)
+            return ~col if neg else col
+        if nxt == "LIKE":
+            self._next()
+            t = self._next()
+            if not t.startswith("'"):
+                raise KsqlParseError("LIKE takes a string-literal pattern")
+            col = left.like(t[1:-1])
+            return ~col if neg else col
+        if nxt == "BETWEEN":
+            # bounds parse as arithmetic expr() (never predicates), so the
+            # mandatory AND separator is unambiguous with predicate AND
+            self._next()
+            low = self.expr()
+            if (self._next() or "").upper() != "AND":
+                raise KsqlParseError("expected AND in BETWEEN")
+            high = self.expr()
+            col = (left >= low) & (left <= high)
+            return ~col if neg else col
         op = self._peek()
         if op not in ("=", "<>", "!=", "<", "<=", ">", ">="):
             raise KsqlParseError(f"expected comparison operator, got {op!r}")

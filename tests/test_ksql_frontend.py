@@ -821,3 +821,33 @@ def test_case_when_expressions(engine):
     )
     rows = {r["k"]: r["pos_sum"] for r in engine.execute("SELECT * FROM cw_pos;")}
     assert rows == {"a": 5.0, "b": 2.5}
+
+
+def test_predicate_in_like_between_isnull(engine):
+    """r5 predicate forms: IN / NOT IN, LIKE, BETWEEN, IS [NOT] NULL."""
+    engine.execute(
+        "CREATE STREAM pf (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='pf', value_format='json');"
+        "INSERT INTO pf (k, val) VALUES ('alpha', 1.0);"
+        "INSERT INTO pf (k, val) VALUES ('beta', 2.5);"
+        "INSERT INTO pf (k, val) VALUES ('gamma', 4.0);"
+        "INSERT INTO pf (k, val) VALUES ('alpine', NULL);"
+    )
+
+    def count_where(pred):
+        engine.execute(
+            f"CREATE TABLE pf_{count_where.i} AS SELECT 'x' AS id, "
+            f"COUNT(*) AS n FROM pf WHERE {pred} GROUP BY 'x' EMIT CHANGES;"
+        )
+        rows = engine.execute(f"SELECT * FROM pf_{count_where.i};")
+        count_where.i += 1
+        return rows[0]["n"] if rows else 0
+
+    count_where.i = 0
+    assert count_where("k IN ('alpha', 'beta')") == 2
+    assert count_where("k NOT IN ('alpha')") == 3
+    assert count_where("k LIKE 'alp%'") == 2
+    assert count_where("val BETWEEN 1 AND 2.5") == 2
+    assert count_where("val IS NULL") == 1
+    assert count_where("val IS NOT NULL AND k LIKE '%a'") == 3
+    assert count_where("val BETWEEN 1 AND 3 AND k LIKE 'b%'") == 1

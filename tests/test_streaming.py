@@ -650,3 +650,28 @@ def test_sink_serves_only_committed_batches(spark, tmp_dir):
     cur = sink.read_current(spark)
     assert cur.count() == 2
     assert {r["v"] for r in cur.collect()} == {2}
+
+
+def test_merge_upsert_time_travel(spark, tmp_dir):
+    """r5 time travel: every committed batch is a full consistent
+    snapshot; read_as_of(batch_id) serves the table VERSION AS OF that
+    batch (Iceberg snapshot-log semantics), and a replayed batch does not
+    create phantom snapshots beyond the pointer."""
+    from ksql_udaf_statistics_spark.streaming.sink import MergeUpsertParquetSink
+
+    sink = MergeUpsertParquetSink(os.path.join(tmp_dir, "tt"), ["k"])
+    sink(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"), 0)
+    sink(spark.createDataFrame([("b", 20.0), ("c", 3.0)], "k string, v double"), 1)
+    sink(spark.createDataFrame([("a", 100.0)], "k string, v double"), 3)
+
+    assert sink.snapshots() == [0, 1, 3]
+    as_of = lambda b: {(r["k"], r["v"])
+                       for r in sink.read_as_of(spark, b).collect()}
+    assert as_of(0) == {("a", 1.0), ("b", 2.0)}
+    assert as_of(1) == {("a", 1.0), ("b", 20.0), ("c", 3.0)}
+    assert as_of(2) == as_of(1)  # no snapshot 2: latest <= 2 is 1
+    assert as_of(3) == {("a", 100.0), ("b", 20.0), ("c", 3.0)}
+    assert as_of(99) == as_of(3)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        sink.read_as_of(spark, -1)
