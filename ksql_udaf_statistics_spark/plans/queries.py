@@ -1275,6 +1275,39 @@ def q_embedding_centroids(spark, sf_dir):
 
 
 @register(
+    "boilerplate_ngrams_topk",
+    """WITH sh AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                  i -> array_to_string(list_slice(string_split(text, ' '), i, i+2), ' ')
+                ))) AS shingle
+         FROM documents)
+       SELECT shingle, count(*) AS df
+       FROM sh GROUP BY shingle
+       HAVING count(*) >= 3
+       ORDER BY df DESC, shingle LIMIT 50""",
+)
+def q_boilerplate_ngrams_topk(spark, sf_dir):
+    """Boilerplate candidate extraction (r5): the top word-3-grams by
+    DOCUMENT frequency (distinct shingles per doc, so df counts docs,
+    not occurrences) — the standard template/boilerplate removal signal
+    for web corpora (headers, footers, nav text recur verbatim across
+    pages). Plan shape at 100 TB: one shingle hash-aggregation with
+    map-side partials + TakeOrderedAndProject for the global top-k (the
+    ties broken on the shingle text keep the cut deterministic); the
+    output (50 rows) broadcasts into the removal pass."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = docs.select(F.explode(D.word_shingles("text", 3)).alias("shingle"))
+    return (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(50)
+    )
+
+
+@register(
     "embedding_quantization_calibration",
     """WITH e AS (
          SELECT generate_subscripts(embedding, 1) - 1 AS pos,

@@ -133,3 +133,32 @@ def test_bucket_state_evicts_past_watermark(spark, tmp_dir):
     sink = _run(spark, tmp_dir, src, watermark="10 minutes")
     kept = {r["doc_id"] for r in sink.read_current(spark).collect()}
     assert kept == {"a", "d", "e", "a_late_dup"}
+
+
+def test_stream_dedup_resumes_from_checkpoint(spark, tmp_dir):
+    """North-rule checkpoint resume for the stateful gate: a SECOND run
+    over the same checkpoint restores the (band,bucket) claim state, so
+    a near-dup arriving after the restart is still dropped, and already-
+    processed files are not reprocessed."""
+    a = WORDS
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, tmp_dir, src, [[_doc("a", "2024-01-01 00:00:00", a)]])
+    sink = _run(spark, tmp_dir, src)
+    assert {r["doc_id"] for r in sink.read_current(spark).collect()} == {"a"}
+
+    # restart: stage a near-dup + a fresh doc, rerun on the SAME checkpoint
+    batch2 = [_doc("a_dup", "2024-01-01 00:05:00", _near(a, "xq")),
+              _doc("z", "2024-01-01 00:06:00", [f"z{i}" for i in range(50)])]
+    staged = os.path.join(tmp_dir, "stage_resume")
+    spark.createDataFrame(batch2, SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).coalesce(1).write.parquet(staged)
+    part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(src, "99.parquet"))
+
+    sink2 = _run(spark, tmp_dir, src)  # same checkpoint + sink paths
+    kept = {r["doc_id"] for r in sink2.read_current(spark).collect()}
+    assert kept == {"a", "z"}  # a_dup dropped via RESTORED bucket state
+    # resume processed only the new file: batch ids advanced, no replay
+    batches = sink2.committed_batches()
+    assert len(batches) >= 2
