@@ -119,6 +119,8 @@ HEADLINE = [
     "lang_id_counts",
     "quality_filter",
     "sequence_packing_stats",
+    "boilerplate_ngrams_topk",
+    "embedding_quantization_calibration",
 ]
 
 
