@@ -597,7 +597,44 @@ class KsqlEngine:
             return sorted(self.streams)
         if head.startswith("SHOW TABLES"):
             return sorted(self.tables)
+        if head.startswith("SHOW QUERIES"):
+            # the persistent queries maintaining tables + derived streams
+            return sorted(
+                [f"CTAS_{n}" for n in self.tables]
+                + [f"CSAS_{n}" for n in self.derived]
+            )
+        if head.startswith("DESCRIBE"):
+            return self._describe(stmt)
         raise KsqlParseError(f"unsupported statement: {stmt[:60]!r}")
+
+    def _describe(self, stmt: str) -> list[dict]:
+        m = re.match(r"DESCRIBE\s+(?:EXTENDED\s+)?(\w+)\s*$", stmt,
+                     re.IGNORECASE)
+        if not m:
+            raise KsqlParseError(f"cannot parse DESCRIBE: {stmt[:60]!r}")
+        name = m.group(1).lower()
+        if name in self.streams:
+            spec = self.streams[name]
+            return [
+                {"column": f.name, "type": f.dataType.simpleString().upper(),
+                 "key": f.name == spec.key_col,
+                 "timestamp": f.name == spec.ts_col}
+                for f in spec.schema.fields
+            ]
+        if name in self.tables:
+            tspec = self.tables[name]
+            self.refresh(name)
+            df = self._read_table(tspec)
+            keys = (
+                [] if isinstance(tspec, TableViewSpec)
+                else tspec.sink.key_cols
+            )
+            return [
+                {"column": f.name, "type": f.dataType.simpleString().upper(),
+                 "key": f.name in keys, "timestamp": False}
+                for f in df.schema.fields
+            ]
+        raise KsqlParseError(f"unknown stream or table {name!r}")
 
     def _drop(self, stmt: str) -> None:
         # DROP STREAM|TABLE [IF EXISTS] name [DELETE TOPIC]

@@ -851,3 +851,27 @@ def test_predicate_in_like_between_isnull(engine):
     assert count_where("val IS NULL") == 1
     assert count_where("val IS NOT NULL AND k LIKE '%a'") == 3
     assert count_where("val BETWEEN 1 AND 3 AND k LIKE 'b%'") == 1
+
+
+def test_describe_and_show_queries(engine):
+    """r5 catalog statements: DESCRIBE (schema + key/timestamp flags) and
+    SHOW QUERIES (persistent CTAS/CSAS maintenance queries)."""
+    engine.execute(
+        "CREATE STREAM ds (val DOUBLE, et TIMESTAMP) "
+        "WITH (kafka_topic='ds', value_format='json', timestamp='et');"
+        "INSERT INTO ds (val, et) VALUES (1.0, '2024-01-01 00:00:00');"
+        "CREATE STREAM ds2 AS SELECT val, et FROM ds PARTITION BY val;"
+        "CREATE TABLE dt AS SELECT 'x' AS id, SUM(val) AS s "
+        "FROM ds GROUP BY 'x' EMIT CHANGES;"
+    )
+    cols = {c["column"]: c for c in engine.execute("DESCRIBE ds;")}
+    assert cols["val"]["type"] == "DOUBLE"
+    assert cols["et"]["timestamp"] and not cols["val"]["timestamp"]
+    cols2 = {c["column"]: c for c in engine.execute("DESCRIBE ds2;")}
+    assert cols2["val"]["key"]  # PARTITION BY val -> key column
+    tcols = {c["column"]: c for c in engine.execute("DESCRIBE dt;")}
+    assert tcols["id"]["key"] and not tcols["s"]["key"]
+    qs = engine.execute("SHOW QUERIES;")
+    assert "CTAS_dt" in qs and "CSAS_ds2" in qs
+    with pytest.raises(Exception, match="unknown stream or table"):
+        engine.execute("DESCRIBE nope;")
