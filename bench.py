@@ -120,6 +120,7 @@ HEADLINE = [
     "quality_filter",
     "sequence_packing_stats",
     "boilerplate_ngrams_topk",
+    "sequence_packing_global_stats",
     "embedding_quantization_calibration",
 ]
 

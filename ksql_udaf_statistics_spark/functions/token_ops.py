@@ -180,3 +180,80 @@ def sequence_packing(
         .withColumn("last_seq", last_seq)
         .withColumn("spans_boundary", F.col("last_seq") > F.col("first_seq"))
     )
+
+
+def sequence_packing_global(
+    df: DataFrame,
+    seq_len: int = 2048,
+    order_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL-ORDER concat-and-chunk packing via the classic two-pass
+    distributed prefix sum — the 100 TB shape a single global window
+    cannot take (``Window.orderBy`` with no partition key collapses the
+    whole table into ONE task).
+
+    Pass shape:
+    1. range-partition + sort by ``order_col`` (one shuffle; at scale
+       this is usually free because the corpus is already laid out in
+       ingest order);
+    2. per-partition token sums — ``num_partitions`` rows to the driver
+       (KBs even at 100k partitions);
+    3. exclusive prefix offsets computed on the driver, broadcast back,
+       and added to an Arrow ``mapInPandas`` running cumsum that never
+       crosses partitions.
+
+    Output: input rows + (start_tok, first_seq, last_seq,
+    spans_boundary), byte-identical to a single-task global window (the
+    DuckDB oracle computes exactly that)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # pass 1+2: tiny per-partition sums to the driver (persist so pass 3
+    # reuses the shuffled/sorted layout instead of re-shuffling)
+    ranged.persist()
+    part_sums = {
+        int(r["_pid"]): int(r["s"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col("n_tok").cast("long")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(max(part_sums, default=-1) + 1):
+        offsets[pid] = acc
+        acc += part_sums.get(pid, 0)
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_fields = df.schema.fields
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        + ", start_tok long, first_seq long, last_seq long, "
+        "spans_boundary boolean"
+    )
+    cols = [f.name for f in out_fields]
+
+    def place(it):
+        running = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = b_offsets.value.get(int(pdf["_pid"].iat[0]), 0)
+            nt = pdf["n_tok"].to_numpy("int64")
+            starts = running + nt.cumsum() - nt
+            running = int(running + nt.sum())
+            out = pdf[cols].copy()
+            out["start_tok"] = starts
+            out["first_seq"] = starts // seq_len
+            out["last_seq"] = (starts + nt - 1) // seq_len
+            out["spans_boundary"] = out["last_seq"] > out["first_seq"]
+            yield out
+
+    result = ranged.mapInPandas(place, out_schema)
+    return result

@@ -1453,6 +1453,53 @@ def q_sequence_packing_stats(spark, sf_dir):
 
 
 @register(
+    "sequence_packing_global_stats",
+    """WITH tok AS (
+         SELECT CAST(doc_id AS BIGINT) AS d,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT d, n_tok,
+                COALESCE(sum(n_tok) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS start_tok
+         FROM tok)
+       SELECT count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(ceil(sum(n_tok) * 1.0 / 512) AS BIGINT) AS n_sequences,
+              CAST(sum(CASE WHEN (start_tok + n_tok - 1) // 512
+                                  > start_tok // 512
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boundary_docs,
+              CAST(max(start_tok) AS BIGINT) AS last_doc_start
+       FROM c""",
+)
+def q_sequence_packing_global_stats(spark, sf_dir):
+    """GLOBAL-order packing (r5): the two-pass distributed prefix sum
+    (functions/token_ops.py::sequence_packing_global — range partition +
+    per-partition sums + driver offsets + partition-local Arrow cumsum)
+    against DuckDB computing the same layout with a single-task global
+    window. A hash match proves the distributed decomposition is
+    byte-identical to the sequential definition — the scalable plan vs
+    the semantic spec."""
+    from ..functions.token_ops import sequence_packing_global
+
+    tok = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+    )
+    placed = sequence_packing_global(tok, seq_len=512, num_partitions=8)
+    total = F.sum(F.col("n_tok").cast("long"))
+    return placed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        F.ceil(total / F.lit(512.0)).cast("long").alias("n_sequences"),
+        F.sum(F.col("spans_boundary").cast("long")).alias("n_boundary_docs"),
+        F.max("start_tok").alias("last_doc_start"),
+    )
+
+
+@register(
     "ppm_image_stats",
     """WITH s AS (
          SELECT source, CAST(doc_id AS BIGINT) AS d,
