@@ -605,7 +605,33 @@ class KsqlEngine:
             )
         if head.startswith("DESCRIBE"):
             return self._describe(stmt)
+        if head.startswith("EXPLAIN"):
+            return self._explain(stmt)
         raise KsqlParseError(f"unsupported statement: {stmt[:60]!r}")
+
+    def _explain(self, stmt: str) -> str:
+        """``EXPLAIN <table|stream>`` — the Spark physical plan of the
+        object's maintenance query (ksqlDB's EXPLAIN shows the Streams
+        topology; here the topology IS the Catalyst plan, so surfacing
+        it lets users audit pushdown/broadcast/aggregation shape)."""
+        m = re.match(r"EXPLAIN\s+(\w+)\s*$", stmt, re.IGNORECASE)
+        if not m:
+            raise KsqlParseError(f"cannot parse EXPLAIN: {stmt[:60]!r}")
+        name = m.group(1).lower()
+        if name in self.tables:
+            spec = self.tables[name]
+            if isinstance(spec, TableViewSpec):
+                df = self._read_table_view(spec)
+            else:
+                df = self._build_agg(
+                    spec,
+                    self._stream_df(self.streams[spec.source], streaming=False),
+                )
+        elif name in self.derived:
+            df = self._csas_transform(self.derived[name], streaming=False)
+        else:
+            raise KsqlParseError(f"unknown table or derived stream {name!r}")
+        return df._jdf.queryExecution().executedPlan().toString()
 
     def _describe(self, stmt: str) -> list[dict]:
         m = re.match(r"DESCRIBE\s+(?:EXTENDED\s+)?(\w+)\s*$", stmt,

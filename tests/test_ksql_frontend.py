@@ -875,3 +875,22 @@ def test_describe_and_show_queries(engine):
     assert "CTAS_dt" in qs and "CSAS_ds2" in qs
     with pytest.raises(Exception, match="unknown stream or table"):
         engine.execute("DESCRIBE nope;")
+
+
+def test_explain_surfaces_physical_plan(engine):
+    """r5 EXPLAIN: the maintenance query's Spark physical plan is
+    user-visible (hash aggregation for a CTAS; the CSAS projection)."""
+    engine.execute(
+        "CREATE STREAM ex (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='ex', value_format='json');"
+        "INSERT INTO ex (k, val) VALUES ('a', 1.0);"
+        "CREATE TABLE ext AS SELECT k AS k, SKEWNESS(val) AS sk "
+        "FROM ex GROUP BY k EMIT CHANGES;"
+        "CREATE STREAM exs AS SELECT k, val * 2 AS v2 FROM ex;"
+    )
+    plan = engine.execute("EXPLAIN ext;")
+    assert "HashAggregate" in plan and "EvalPython" not in plan
+    plan2 = engine.execute("EXPLAIN exs;")
+    assert "Project" in plan2
+    with pytest.raises(Exception, match="unknown table"):
+        engine.execute("EXPLAIN nope;")
