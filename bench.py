@@ -121,6 +121,7 @@ HEADLINE = [
     "sequence_packing_stats",
     "boilerplate_ngrams_topk",
     "sequence_packing_global_stats",
+    "curation_funnel",
     "embedding_quantization_calibration",
 ]
 

@@ -1275,6 +1275,109 @@ def q_embedding_centroids(spark, sf_dir):
 
 
 @register(
+    "curation_funnel",
+    f"""WITH RECURSIVE prof AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text,
+                 len(string_split(text, ' ')) AS n_tok,
+                 0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * least(len(list_filter(string_split(text, ' '),
+                                     w -> list_contains({_STOP_SQL}, lower(w))))
+                           * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0)
+                 + 0.2 * greatest(0.0, 1.0 -
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1) * 5.0) AS q
+          FROM documents),
+        passq AS (SELECT * FROM prof WHERE q >= 0.5),
+        uniq AS (
+          SELECT p.* FROM passq p
+          JOIN (SELECT md5(text) AS h, min(doc_id) AS k
+                FROM passq GROUP BY md5(text)) m ON p.doc_id = m.k),
+        sh AS (
+          SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                     i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                   )) AS shingles,
+                   len(list_distinct(list_transform(
+                     generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                     i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+                   ))) AS n_shingles
+            FROM uniq)),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) * 1.0
+                 / (any_value(a.n_shingles) + any_value(b.n_shingles) - count(*))
+                 >= 0.5),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+        removed AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING u != min(r))
+        SELECT prof.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN prof.q >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality,
+               count(u.doc_id) AS n_unique,
+               CAST(sum(CASE WHEN u.doc_id IS NOT NULL
+                                  AND r.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN u.doc_id IS NOT NULL
+                                  AND r.doc_id IS NULL
+                             THEN prof.n_tok ELSE 0 END) AS BIGINT)
+                 AS tokens_kept
+        FROM prof
+        LEFT JOIN uniq u ON prof.doc_id = u.doc_id
+        LEFT JOIN removed r ON prof.doc_id = r.doc_id
+        GROUP BY prof.source""",
+)
+def q_curation_funnel(spark, sf_dir):
+    """The CAPSTONE composition (r5): the full curation pipeline —
+    quality filter -> exact dedup (min-id survivor per content hash) ->
+    near-dup cluster removal (Jaccard>=0.5 blocking + connected
+    components, min-id survivor per cluster) — as ONE composed DataFrame
+    plan, reporting the per-source retention funnel (docs -> quality ->
+    unique -> near-dup-free) plus surviving token counts. Every stage is
+    an operator this repo ships individually; the oracle recomputes the
+    whole funnel from first principles (incl. a recursive-CTE component
+    search), so the hash match proves the stages compose without
+    double-counting or survivor drift."""
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    ).withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+    q_ok = T.quality_score(F.col("text")) >= 0.5
+    passq = docs.filter(q_ok)
+    keep_exact = (
+        passq.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = passq.join(keep_exact, "doc_id", "semi")
+    pairs = D.jaccard_pairs(uniq, n=3, threshold=0.5)
+    comp = D.connected_components(pairs)
+    removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    flags = (
+        docs.withColumn("q_ok", q_ok)
+        .join(keep_exact.withColumn("e_ok", F.lit(True)), "doc_id", "left")
+        .join(removed.withColumn("nd_removed", F.lit(True)), "doc_id", "left")
+    )
+    kept = F.col("e_ok") & F.col("nd_removed").isNull()
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.count("e_ok").alias("n_unique"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+@register(
     "boilerplate_ngrams_topk",
     """WITH sh AS (
          SELECT doc_id,
