@@ -131,6 +131,10 @@ class StreamSpec:
     # partitioned on it, so a downstream CTAS grouping on the key reads
     # co-located input
     key_col: Optional[str] = None
+    # INSERT INTO <this stream> SELECT ... feeders: names of hidden
+    # derived streams whose rows union into this stream at read time
+    # (ksqlDB's stream-merge persistent query)
+    feeders: list = field(default_factory=list)
 
 
 @dataclass
@@ -594,7 +598,8 @@ class KsqlEngine:
         if head.startswith("DROP STREAM") or head.startswith("DROP TABLE"):
             return self._drop(stmt)
         if head.startswith("SHOW STREAMS"):
-            return sorted(self.streams)
+            # hidden INSERT..SELECT feeder streams are internal
+            return sorted(n for n in self.streams if not n.startswith("_ins_"))
         if head.startswith("SHOW TABLES"):
             return sorted(self.tables)
         if head.startswith("SHOW QUERIES"):
@@ -909,6 +914,8 @@ class KsqlEngine:
         for up in ups:
             if up in self.derived:
                 self.refresh_stream(up)
+            for f in self.streams[up].feeders:
+                self.refresh_stream(f)
         out = self.streams[name]
         df = self._csas_transform(spec, streaming=True)
         if spec.partition_by is not None:
@@ -944,6 +951,10 @@ class KsqlEngine:
             stmt, re.IGNORECASE | re.DOTALL,
         )
         if not m:
+            ms = re.match(r"INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*)$",
+                          stmt, re.IGNORECASE | re.DOTALL)
+            if ms:
+                return self._insert_select(ms.group(1).lower(), ms.group(2))
             raise KsqlParseError(f"cannot parse INSERT: {stmt[:80]!r}")
         name = m.group(1).lower()
         spec = self.streams.get(name)
@@ -973,6 +984,46 @@ class KsqlEngine:
             f.write(json.dumps(
                 {k: (None if isinstance(v, float) and math.isnan(v) else v)
                  for k, v in row.items()}) + "\n")
+
+    def _insert_select(self, tgt: str, sel: str) -> None:
+        """``INSERT INTO tgt SELECT ... FROM src [WHERE ...] [EMIT
+        CHANGES]`` — ksqlDB's stream-MERGE persistent query: another
+        stream's (transformed) rows flow into ``tgt`` alongside its own.
+        Compiled as a hidden CSAS whose output unions into ``tgt`` at
+        read time (``_stream_df``), refreshed with tgt's other
+        upstreams, so every reader of tgt sees both row sources
+        exactly-once."""
+        if tgt not in self.streams:
+            raise KsqlParseError(f"unknown stream {tgt!r}")
+        if tgt in self.derived:
+            raise KsqlParseError(
+                f"cannot INSERT INTO derived stream {tgt!r} — it is "
+                f"maintained by its own query"
+            )
+        tgt_spec = self.streams[tgt]
+        hidden = f"_ins_{tgt}_{len(tgt_spec.feeders)}"
+        self._create_stream_as(f"CREATE STREAM {hidden} AS {sel}")
+        if self.derived[hidden].source == tgt:
+            del self.derived[hidden], self.streams[hidden]
+            raise KsqlParseError(
+                f"INSERT INTO {tgt!r} cannot select from {tgt!r} itself"
+            )
+        feeder = self.streams[hidden]
+        tgt_cols = set(tgt_spec.schema.names)
+        extra = [c for c in feeder.schema.names if c not in tgt_cols]
+        if extra:
+            raise KsqlParseError(
+                f"INSERT INTO {tgt!r}: select columns {extra} are not in "
+                f"the target schema {sorted(tgt_cols)}"
+            )
+        if tgt_spec.ts_col not in (None, "rowtime") and \
+                tgt_spec.ts_col not in feeder.schema.names:
+            raise KsqlParseError(
+                f"INSERT INTO {tgt!r}: the target's timestamp column "
+                f"{tgt_spec.ts_col!r} must be in the select list (windowed "
+                f"readers group on it)"
+            )
+        tgt_spec.feeders.append(hidden)
 
     @staticmethod
     def _split_csv(s: str) -> list[str]:
@@ -1308,14 +1359,31 @@ class KsqlEngine:
             # derived (CSAS) stream: parquet files written by the file
             # sink, whose _spark_metadata manifest makes downstream reads
             # exactly-once; schema was fixed at CREATE time
-            return reader.schema(spec.schema).parquet(spec.path)
-        # the Kafka-parity decode chain: raw bytes -> string -> from_json
-        raw = reader.format("text").load(spec.path)
-        return (
-            raw.select(F.from_json(F.col("value").cast("string"),
-                                   spec.schema).alias("r"))
-            .select("r.*")
-        )
+            df = reader.schema(spec.schema).parquet(spec.path)
+        else:
+            # the Kafka-parity decode chain: raw bytes -> string -> from_json
+            raw = reader.format("text").load(spec.path)
+            df = (
+                raw.select(F.from_json(F.col("value").cast("string"),
+                                       spec.schema).alias("r"))
+                .select("r.*")
+            )
+        for fname in spec.feeders:
+            # INSERT INTO ... SELECT rows union in (missing columns —
+            # e.g. the synthetic rowtime — fill with null)
+            df = df.unionByName(
+                self._stream_df(self.streams[fname], streaming),
+                allowMissingColumns=True,
+            )
+        return df
+
+    def _refresh_upstreams(self, name: str) -> None:
+        """Bring a stream's inputs up to date: its own CSAS transform (if
+        derived) and any INSERT INTO ... SELECT feeders."""
+        if name in self.derived:
+            self.refresh_stream(name)
+        for f in self.streams[name].feeders:
+            self.refresh_stream(f)
 
     def _build_agg(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         stream_spec = self.streams[spec.source]
@@ -1451,10 +1519,9 @@ class KsqlEngine:
             # against its current state (ksqlDB keeps both continuously
             # maintained; availableNow refreshes in dependency order)
             self.refresh(spec.join["table"])
-        if spec.source in self.derived:
-            # the source is a CSAS stream: propagate upstream inserts
-            # through the transform chain before draining it
-            self.refresh_stream(spec.source)
+        # propagate upstream CSAS transforms and INSERT..SELECT feeders
+        # before draining the source
+        self._refresh_upstreams(spec.source)
         if self._needs_batch_materialization(spec):
             # Session windows grouped ONLY by literals constant-fold to a
             # "global session aggregation", which Structured Streaming

@@ -894,3 +894,37 @@ def test_explain_surfaces_physical_plan(engine):
     assert "Project" in plan2
     with pytest.raises(Exception, match="unknown table"):
         engine.execute("EXPLAIN nope;")
+
+
+def test_insert_into_select_stream_merge(engine):
+    """r5 INSERT INTO ... SELECT: another stream's transformed rows flow
+    into the target alongside its own inserts (ksqlDB stream merge);
+    later inserts on BOTH sources propagate through downstream tables."""
+    engine.execute(
+        "CREATE STREAM main_ev (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='main_ev', value_format='json');"
+        "CREATE STREAM side_ev (k VARCHAR, raw DOUBLE) "
+        "WITH (kafka_topic='side_ev', value_format='json');"
+        "INSERT INTO main_ev (k, val) VALUES ('a', 1.0);"
+        "INSERT INTO side_ev (k, raw) VALUES ('a', 50.0);"
+        "INSERT INTO main_ev SELECT k, raw / 10 AS val FROM side_ev;"
+        "CREATE TABLE merged_tot AS SELECT k AS k, SUM(val) AS s, "
+        "COUNT(*) AS n FROM main_ev GROUP BY k EMIT CHANGES;"
+    )
+    rows = engine.execute("SELECT * FROM merged_tot;")
+    assert [(r["k"], r["s"], r["n"]) for r in rows] == [("a", 6.0, 2)]
+    # updates on both sources flow through
+    engine.execute(
+        "INSERT INTO main_ev (k, val) VALUES ('a', 2.0);"
+        "INSERT INTO side_ev (k, raw) VALUES ('b', 30.0);"
+    )
+    rows = engine.execute("SELECT * FROM merged_tot;")
+    assert sorted((r["k"], r["s"], r["n"]) for r in rows) == [
+        ("a", 8.0, 3), ("b", 3.0, 1)]
+    # feeders are internal: not listed, not directly insertable
+    assert all(not s.startswith("_ins_")
+               for s in engine.execute("SHOW STREAMS;"))
+    with pytest.raises(Exception, match="not in the target schema"):
+        engine.execute("INSERT INTO main_ev SELECT raw FROM side_ev;")
+    with pytest.raises(Exception, match="itself"):
+        engine.execute("INSERT INTO main_ev SELECT k, val FROM main_ev;")
