@@ -18,6 +18,11 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # bucketed-table tests: keep the warehouse + derby metastore out
+        # of the repo working tree
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="kuss_wh_"))
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/kuss_derby")
         .getOrCreate()
     )
     yield s

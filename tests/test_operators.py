@@ -498,3 +498,47 @@ def test_ppm_decoder_handles_comments():
     payload = b"P6\n# a comment\n3 2\n# another\n255\n" + pix.tobytes()
     back = MM.decode_ppm(payload)
     assert (back == pix).all()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """The co-located join strategy claimed for 100 TB: two tables
+    bucketed+sorted on the join key join WITHOUT any Exchange (each
+    bucket pairs by file), vs the same join on plain parquet which must
+    shuffle both sides. This is the physical-layout lever (bucketBy /
+    Iceberg bucket partition transform) for repeated large-large joins
+    like doc-metadata x doc-scores."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_scores")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    scores = docs.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("score")
+    )
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # disable broadcast so the plan decision is bucketing, not size
+    thresh_was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs.write.bucketBy(4, "doc_id").sortBy("doc_id").mode(
+            "overwrite").saveAsTable("b_docs")
+        scores.write.bucketBy(4, "doc_id").sortBy("doc_id").mode(
+            "overwrite").saveAsTable("b_scores")
+        j = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        # same join on unbucketed inputs shuffles both sides
+        plain = docs.join(scores, "doc_id")
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+        # and the bucketed join is correct
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh_was)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
