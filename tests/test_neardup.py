@@ -162,3 +162,46 @@ def test_stream_dedup_resumes_from_checkpoint(spark, tmp_dir):
     # resume processed only the new file: batch ids advanced, no replay
     batches = sink2.committed_batches()
     assert len(batches) >= 2
+
+
+def test_streaming_curation_pipeline(spark, tmp_dir):
+    """Ingest-time curation composed in ONE streaming query: stateless
+    quality filter -> minhash gate (exact duplicates need no separate
+    stage — identical texts have identical signatures, so every band
+    collides). Kept set equals the composed batch twin."""
+    from ksql_udaf_statistics_spark.operators.text import quality_score
+
+    good = WORDS * 3  # long + stopword-free? ensure quality>=0.5
+    # quality_score wants stopwords + length; build a passing doc
+    passing = (["the", "a", "of", "to", "in"] * 8 + WORDS) * 2
+    low_quality = ["zz"]  # short, no stopwords -> fails
+    batch1 = [_doc("p1", "2024-01-01 00:00:00", passing),
+              _doc("junk", "2024-01-01 00:00:30", low_quality)]
+    batch2 = [_doc("p1_exact", "2024-01-01 00:01:00", passing),   # exact dup
+              _doc("p1_near", "2024-01-01 00:02:00", _near(passing, "zq")),
+              _doc("p2", "2024-01-01 00:03:00",
+                   ["and", "or", "is", "it", "the"] * 12
+                   + [f"q{i}" for i in range(40)])]
+    src = os.path.join(tmp_dir, "src")
+    _stage(spark, tmp_dir, src, [batch1, batch2])
+
+    from ksql_udaf_statistics_spark.streaming.neardup import (
+        run_stream_minhash_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(quality_score(F.col("text")) >= 0.5)
+    )
+    sink = ExactlyOnceParquetSink(os.path.join(tmp_dir, "kept"), ["doc_id"])
+    q = run_stream_minhash_dedup(stream, sink, os.path.join(tmp_dir, "ckpt"))
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in sink.read_current(spark).collect()}
+    assert kept == {"p1", "p2"}  # junk filtered, exact+near dups gated
+
+    batch_docs = spark.createDataFrame(batch1 + batch2, SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).filter(quality_score(F.col("text")) >= 0.5)
+    twin = {r["doc_id"] for r in minhash_dedup_batch(batch_docs).collect()}
+    assert kept == twin
