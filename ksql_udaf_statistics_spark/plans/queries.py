@@ -638,7 +638,12 @@ def q_dedup_stream_minhash(spark, sf_dir):
             stream, sink, os.path.join(work, "ckpt"),
             watermark="24 hours", num_hashes=32, bands=16,
         )
-        q.awaitTermination(240)
+        if not q.awaitTermination(240):
+            q.stop()
+            raise RuntimeError(
+                "streaming near-dup gate did not drain within 240s; "
+                "refusing to return a partial kept-set"
+            )
         # materialize before the tempdir vanishes
         rows = sink.read_current(spark).select("doc_id").orderBy("doc_id")
         out = spark.createDataFrame(rows.collect(), rows.schema)
