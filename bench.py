@@ -72,8 +72,8 @@ STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
 # carries a Spark-free host-ceiling probe (same burn/memburn kernels as
 # BENCH/hw_ceiling.py) taken immediately before it, so a
 # contended-window artifact is self-evidently contended.
-STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "3"))
-STREAM_SPREAD_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_SPREAD_SEC", "45"))
+STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "4"))
+STREAM_SPREAD_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_SPREAD_SEC", "60"))
 # clean-window reference for the probe (BENCH/hw_ceiling_snapshots.jsonl,
 # 2026-08-17T05:20Z, an uncontended window): burn ~0.69 tasks/s/proc —
 # per-proc CPU throughput is flat across 4..16 procs when the host is
