@@ -325,6 +325,62 @@ def q_ksql_e2e_windowed_stats(spark, sf_dir):
 
 
 @register(
+    "ksql_e2e_hopping_stats",
+    """WITH slid AS (
+         SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/3600)*3600 - o.off)
+                                   * 1000 AS BIGINT)) AS ws
+         FROM events e, (SELECT unnest([0, 3600]) AS off) o),
+       s AS (
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                event_type, count(*) AS n, sum(value) AS s1,
+                sum(value*value) AS s2
+         FROM slid GROUP BY 1, 2)
+       SELECT window_start, event_type, n AS n_rows,
+              (ROUND(CASE WHEN n = 0 THEN 0.0
+                     ELSE sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                     END, 6) + 0.0) AS stddev_pop
+       FROM s""",
+)
+def q_ksql_e2e_hopping_stats(spark, sf_dir):
+    """The HOPPING-window dialect path in the hash gate (r5 companion to
+    ksql_e2e_windowed_stats): events bulk-produced over the JSON wire,
+    then ``WINDOW HOPPING (SIZE 2 HOURS, ADVANCE BY 1 HOUR)`` through
+    KsqlEngine — every event lands in two overlapping windows — pulled
+    and hash-matched against DuckDB's offset-unnest reconstruction."""
+    import tempfile
+
+    from ..frontend import KsqlEngine
+
+    work = tempfile.mkdtemp(prefix="kuss_ksql_hop_")
+    eng = KsqlEngine(spark, work)
+    eng.execute(
+        "CREATE STREAM hev (ts TIMESTAMP, event_type VARCHAR, value DOUBLE) "
+        "WITH (kafka_topic='hev', value_format='json', timestamp='ts');"
+    )
+    _load(spark, sf_dir, "events").select("ts", "event_type", "value") \
+        .coalesce(4).write.mode("append").json(eng.streams["hev"].path)
+    eng.execute(
+        "CREATE TABLE hev_stats AS SELECT WINDOWSTART AS window_start, "
+        "event_type AS event_type, COUNT(*) AS n_rows, "
+        "STDDEV_WEIGHTED(value, 1) AS stddev_pop "
+        "FROM hev WINDOW HOPPING (SIZE 2 HOURS, ADVANCE BY 1 HOUR) "
+        "GROUP BY event_type EMIT CHANGES;"
+    )
+    rows = eng.execute("SELECT * FROM hev_stats;")
+    out = spark.createDataFrame(
+        [(r["window_start"], r["event_type"], r["n_rows"], r["stddev_pop"])
+         for r in rows],
+        "window_start timestamp, event_type string, n_rows long, "
+        "stddev_pop double",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_rows",
+        round6(F.col("stddev_pop")).alias("stddev_pop"),
+    )
+
+
+@register(
     "sliding_window_stats",
     f"""WITH slid AS (
          SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/1800) * 1800 - o.off) * 1000 AS BIGINT)) AS ws
