@@ -381,6 +381,69 @@ def q_ksql_e2e_hopping_stats(spark, sf_dir):
 
 
 @register(
+    "ksql_e2e_session_stats",
+    """WITH flagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               + INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sessions AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events,
+              (ROUND(max(value), 6) + 0.0) AS max_value
+       FROM sessions GROUP BY user_id, session_id""",
+)
+def q_ksql_e2e_session_stats(spark, sf_dir):
+    """SESSION windows through the frontend, in the hash gate (completes
+    the window-family trio with the tumbling/hopping e2e entries):
+    events over the JSON wire -> ``WINDOW SESSION (30 MINUTES)`` CTAS
+    grouped by a COLUMN key (complete-output session path) -> pull,
+    hash-matched against DuckDB's gaps-and-islands reconstruction. Max
+    is the aggregated stat (order-independent — exact across engines
+    regardless of accumulation order)."""
+    import tempfile
+
+    from ..frontend import KsqlEngine
+
+    work = tempfile.mkdtemp(prefix="kuss_ksql_sess_")
+    eng = KsqlEngine(spark, work)
+    eng.execute(
+        "CREATE STREAM sev (ts TIMESTAMP, user_id BIGINT, value DOUBLE) "
+        "WITH (kafka_topic='sev', value_format='json', timestamp='ts');"
+    )
+    _load(spark, sf_dir, "events").select("ts", "user_id", "value") \
+        .coalesce(4).write.mode("append").json(eng.streams["sev"].path)
+    eng.execute(
+        "CREATE TABLE sev_stats AS SELECT user_id AS user_id, "
+        "WINDOWSTART AS session_start, COUNT(*) AS n_events, "
+        "MAX(value) AS max_value "
+        "FROM sev WINDOW SESSION (30 MINUTES) "
+        "GROUP BY user_id EMIT CHANGES;"
+    )
+    rows = eng.execute("SELECT * FROM sev_stats;")
+    out = spark.createDataFrame(
+        [(r["user_id"], r["session_start"], r["n_events"], r["max_value"])
+         for r in rows],
+        "user_id long, session_start timestamp, n_events long, "
+        "max_value double",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        "n_events",
+        round6(F.col("max_value")).alias("max_value"),
+    )
+
+
+@register(
     "sliding_window_stats",
     f"""WITH slid AS (
          SELECT e.*, epoch_ms(CAST((floor(epoch(e.ts)/1800) * 1800 - o.off) * 1000 AS BIGINT)) AS ws
