@@ -1502,6 +1502,43 @@ def q_curation_funnel(spark, sf_dir):
 
 
 @register(
+    "length_bucket_histogram",
+    """WITH tok AS (
+         SELECT source, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       b AS (
+         SELECT source, n_tok,
+                CAST(pow(2, length(bin(n_tok)) - 1) AS BIGINT) AS bucket_lo
+         FROM tok)
+       SELECT source, bucket_lo,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(bucket_lo * 2 - n_tok) AS BIGINT) AS padding_waste
+       FROM b GROUP BY source, bucket_lo""",
+)
+def q_length_bucket_histogram(spark, sf_dir):
+    """Power-of-two length bucketing per source (r5): the batching-by-
+    length layout (the padded-batch alternative to sequence packing),
+    with the padding cost of rounding every doc up to its bucket's
+    upper bound. Bucket boundaries are computed with INTEGER bit-length
+    arithmetic (length(bin(n)) on both engines), never floor(log2(n)) —
+    libm rounding at exact powers of two differs across engines."""
+    docs = _load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.pow(2, F.length(F.bin(n_tok)) - 1).cast("long")
+    return (
+        docs.select("source", n_tok.alias("n_tok"), bucket.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_lo") * 2 - F.col("n_tok")).cast("long")
+            .alias("padding_waste"),
+        )
+    )
+
+
+@register(
     "boilerplate_ngrams_topk",
     """WITH sh AS (
          SELECT doc_id,
