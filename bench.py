@@ -123,6 +123,7 @@ HEADLINE = [
     "sequence_packing_global_stats",
     "curation_funnel",
     "embedding_quantization_calibration",
+    "length_bucket_histogram",
 ]
 
 
