@@ -106,6 +106,47 @@ def cosine_arrow(a, b) -> Column:
     return F.pandas_udf(_cos, DoubleType())(a, b)
 
 
+def cosine_filter_pairs(
+    pairs: DataFrame,
+    threshold: float,
+    a_col: str = "_va",
+    b_col: str = "_vb",
+    out_col: str = "cos_sim",
+) -> DataFrame:
+    """Score candidate pairs by exact cosine and keep ``>= threshold`` in
+    ONE Arrow pass.
+
+    A plain ``withColumn(cos) + filter(cos >= t)`` re-expands the scoring
+    UDF into BOTH the Filter and the Project after Catalyst's projection
+    collapse — the r5 plan audit found two ``ArrowEvalPython [_cos]``
+    nodes in the LSH re-rank, doubling the Python hop on the hot path.
+    ``mapInPandas`` fuses score + filter + vector-drop into a single
+    Arrow exchange whose output batches carry only the id/score columns
+    (narrowest possible payload back to the JVM)."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = [f for f in pairs.schema.fields if f.name not in (a_col, b_col)]
+    names = [f.name for f in out_fields]
+    schema = StructType(out_fields + [StructField(out_col, DoubleType())])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A, B = _stack(pdf[a_col]), _stack(pdf[b_col])
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+            cos = num / den
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            out = pdf.loc[keep, names].copy()
+            out[out_col] = cos[keep]
+            yield out
+
+    return pairs.mapInPandas(score, schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -302,12 +343,9 @@ def embedding_near_dups_exact(
         )
     a = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_sim", cosine_arrow(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", "cos_sim")
-    )
+    return cosine_filter_pairs(
+        a.join(b, F.col("doc_a") < F.col("doc_b")), threshold
+    ).select("doc_a", "doc_b", "cos_sim")
 
 
 def embedding_near_dups(
@@ -343,12 +381,9 @@ def embedding_near_dups(
     # AQE broadcasts the corpus side when it is small enough
     va = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
-    return (
-        pairs.join(va, "doc_a").join(vb, "doc_b")
-        .withColumn("cos_sim", cosine_arrow(F.col("_va"), F.col("_vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", "cos_sim")
-    )
+    return cosine_filter_pairs(
+        pairs.join(va, "doc_a").join(vb, "doc_b"), threshold
+    ).select("doc_a", "doc_b", "cos_sim")
 
 
 # ---------------------------------------------------------------------------
