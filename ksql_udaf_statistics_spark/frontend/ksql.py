@@ -682,12 +682,51 @@ class KsqlEngine:
         import shutil
 
         if kind == "STREAM":
+            if name in self.streams:
+                # ksqlDB parity: a source with downstream readers cannot
+                # be dropped ("Cannot drop X: the following queries read
+                # from this source"). Visible derived streams block the
+                # drop; hidden INSERT INTO ... SELECT feeders (_ins_*)
+                # are engine-managed and cascade-removed instead — a
+                # dangling feeder would KeyError the target's next
+                # refresh.
+                deps = [
+                    d for d, sp in self.derived.items()
+                    if sp.source == name
+                    or (sp.join and sp.join.get("stream") == name)
+                ]
+                visible = [d for d in deps if not d.startswith("_ins_")]
+                if visible:
+                    raise KsqlParseError(
+                        f"cannot drop stream {name!r}: derived streams "
+                        f"{sorted(visible)} read from it — drop them first"
+                    )
+                for d in deps:
+                    for sp in self.streams.values():
+                        if d in sp.feeders:
+                            sp.feeders.remove(d)
+                    dcsas = self.derived.pop(d, None)
+                    dspec = self.streams.pop(d, None)
+                    if dspec is not None:
+                        shutil.rmtree(dspec.path, ignore_errors=True)
+                    if dcsas is not None:
+                        shutil.rmtree(dcsas.checkpoint, ignore_errors=True)
             spec = self.streams.pop(name, None)
             csas = self.derived.pop(name, None)
             if spec is None:
                 if "IF EXISTS" in stmt.upper():
                     return
                 raise KsqlParseError(f"unknown stream {name!r}")
+            # the dropped stream's OWN hidden INSERT feeders are
+            # engine-managed too — remove them with their target or they
+            # linger as orphaned registrations
+            for f in list(spec.feeders):
+                fcsas = self.derived.pop(f, None)
+                fspec = self.streams.pop(f, None)
+                if fspec is not None:
+                    shutil.rmtree(fspec.path, ignore_errors=True)
+                if fcsas is not None:
+                    shutil.rmtree(fcsas.checkpoint, ignore_errors=True)
             if csas is not None:
                 # derived (CSAS) stream: the parquet directory (incl. the
                 # file-sink _spark_metadata manifest) and the CSAS
@@ -910,18 +949,35 @@ class KsqlEngine:
             ]
         )
 
-    def refresh_stream(self, name: str) -> None:
+    def refresh_stream(self, name: str, _chain: tuple = ()) -> None:
         """Drain currently-available upstream records through the CSAS
         transform into the derived stream directory (availableNow on the
         CSAS's own checkpoint — incremental, append-only). Upstream
-        derived streams refresh first, so chains propagate."""
+        derived streams refresh first, so chains propagate.
+
+        ``_chain`` guards against feeder cycles (INSERT INTO a SELECT
+        FROM b; INSERT INTO b SELECT FROM a): a revisit raises a named
+        error instead of recursing unboundedly. Cycles are also rejected
+        at INSERT time (``_insert_select``); this is the backstop for
+        graphs assembled through paths that bypass that check."""
+        if name in _chain:
+            raise KsqlParseError(
+                "feeder cycle detected during refresh: "
+                + " -> ".join((*_chain, name))
+            )
+        chain = (*_chain, name)
         spec = self.derived[name]
         ups = [spec.source] + ([spec.join["stream"]] if spec.join else [])
         for up in ups:
             if up in self.derived:
-                self.refresh_stream(up)
+                self.refresh_stream(up, chain)
+            if up not in self.streams:
+                raise KsqlParseError(
+                    f"stream {name!r} reads from {up!r}, which no longer "
+                    f"exists (dropped source)"
+                )
             for f in self.streams[up].feeders:
-                self.refresh_stream(f)
+                self.refresh_stream(f, chain)
         out = self.streams[name]
         df = self._csas_transform(spec, streaming=True)
         if spec.partition_by is not None:
@@ -1032,10 +1088,38 @@ class KsqlEngine:
         tgt_spec = self.streams[tgt]
         hidden = f"_ins_{tgt}_{len(tgt_spec.feeders)}"
         self._create_stream_as(f"CREATE STREAM {hidden} AS {sel}")
-        if self.derived[hidden].source == tgt:
-            del self.derived[hidden], self.streams[hidden]
+
+        # Reject feeder cycles AT INSERT TIME (ksqlDB rejects circular
+        # reads too): if the new feeder's transitive upstream graph —
+        # CSAS sources, join streams, and other INSERT feeders — reaches
+        # the target, refreshing the target would recurse forever.
+        def _reaches(node: str, goal: str, seen: set) -> bool:
+            if node == goal:
+                return True
+            if node in seen:
+                return False
+            seen.add(node)
+            nxt: list[str] = []
+            dsp = self.derived.get(node)
+            if dsp is not None:
+                nxt.append(dsp.source)
+                if dsp.join:
+                    nxt.append(dsp.join["stream"])
+            ssp = self.streams.get(node)
+            if ssp is not None:
+                nxt.extend(ssp.feeders)
+            return any(_reaches(x, goal, seen) for x in nxt)
+
+        if _reaches(self.derived[hidden].source, tgt, set()):
+            bad = self.derived.pop(hidden)
+            bad_spec = self.streams.pop(hidden)
+            import shutil
+
+            shutil.rmtree(bad_spec.path, ignore_errors=True)
+            shutil.rmtree(bad.checkpoint, ignore_errors=True)
             raise KsqlParseError(
-                f"INSERT INTO {tgt!r} cannot select from {tgt!r} itself"
+                f"INSERT INTO {tgt!r} would create a feeder cycle: its "
+                f"SELECT reads (transitively) from {tgt!r} itself"
             )
         feeder = self.streams[hidden]
         tgt_cols = set(tgt_spec.schema.names)

@@ -215,9 +215,15 @@ def sequence_packing_global(
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # pass 1+2: tiny per-partition sums to the driver (persist so pass 3
-    # reuses the shuffled/sorted layout instead of re-shuffling)
-    ranged.persist()
+    # Hard barrier: materialize the ranged layout exactly ONCE. A
+    # persist() here leaked cache for the session (never unpersisted) and
+    # — worse — on eviction the cumsum pass would silently re-execute
+    # repartitionByRange, which is only guaranteed to reproduce the
+    # layout the driver-side offsets were computed from when the input is
+    # deterministic. localCheckpoint cuts the lineage (no recompute path
+    # exists), and its blocks are freed by the ContextCleaner when this
+    # DataFrame is garbage-collected rather than pinned until session end.
+    ranged = ranged.localCheckpoint(eager=True)
     part_sums = {
         int(r["_pid"]): int(r["s"])
         for r in ranged.groupBy("_pid")

@@ -1513,16 +1513,20 @@ def q_curation_funnel(spark, sf_dir):
        SELECT source, bucket_lo,
               count(*) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-              CAST(sum(bucket_lo * 2 - n_tok) AS BIGINT) AS padding_waste
+              CAST(sum(bucket_lo * 2 - 1 - n_tok) AS BIGINT) AS padding_waste
        FROM b GROUP BY source, bucket_lo""",
 )
 def q_length_bucket_histogram(spark, sf_dir):
     """Power-of-two length bucketing per source (r5): the batching-by-
     length layout (the padded-batch alternative to sequence packing),
-    with the padding cost of rounding every doc up to its bucket's
-    upper bound. Bucket boundaries are computed with INTEGER bit-length
-    arithmetic (length(bin(n)) on both engines), never floor(log2(n)) —
-    libm rounding at exact powers of two differs across engines."""
+    with the padding cost of rounding every doc up to the bucket's max
+    length. Bucket [bucket_lo, 2*bucket_lo) holds docs padded to
+    2*bucket_lo - 1 tokens (the inclusive max — r6 ADVICE fix: the prior
+    2*bucket_lo padded to the NEXT bucket's lower bound, overstating
+    waste by 1 token/doc). Bucket boundaries are computed with INTEGER
+    bit-length arithmetic (length(bin(n)) on both engines), never
+    floor(log2(n)) — libm rounding at exact powers of two differs across
+    engines."""
     docs = _load(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     bucket = F.pow(2, F.length(F.bin(n_tok)) - 1).cast("long")
@@ -1532,7 +1536,7 @@ def q_length_bucket_histogram(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("long").alias("total_tokens"),
-            F.sum(F.col("bucket_lo") * 2 - F.col("n_tok")).cast("long")
+            F.sum(F.col("bucket_lo") * 2 - 1 - F.col("n_tok")).cast("long")
             .alias("padding_waste"),
         )
     )

@@ -23,13 +23,21 @@ is the streaming twin of ``operators.dedup.minhash_lsh_pairs``:
   sink — no second cross-batch stateful operator is needed.
 
 Semantics (documented contract): a document is dropped iff any of its
-band-buckets was already claimed by an EARLIER arrival, where arrival
-order is ``(ts, doc_id)`` within the watermark horizon and buckets are
-claimed by every arrival (kept or dropped — claims are unconditional, so
-the verdict is order-deterministic and has an exact batch twin,
-``minhash_dedup_batch``, used by the oracle tests). Late data beyond the
-watermark may see an evicted bucket and be kept; that is the standard
-bounded-state trade every watermarked dedup makes
+band-buckets was already claimed by a PRIOR-PROCESSED arrival. Within a
+micro-batch, processing order is ``(ts, doc_id)``; across micro-batches
+it is batch order — the claim, once made, is final (no retroactive
+owner swap: an already-emitted ``kept`` verdict can never be
+invalidated, so claims and verdicts stay mutually consistent). The
+verdict therefore equals the batch twin ``minhash_dedup_batch`` (global
+``(ts, doc_id)`` order) exactly when cross-batch arrival respects event
+order — i.e. the source delivers files/offsets in event-time order, the
+arrangement the gate and its tests use via range-partitioned input
+files. Out-of-order delivery within the watermark keeps the
+first-PROCESSED claimant instead of the event-time-earliest; both
+members of the near-dup pair are interchangeable duplicates, so the
+kept-set size and every downstream count are unaffected. Late data
+beyond the watermark may see an evicted bucket and be kept; that is the
+standard bounded-state trade every watermarked dedup makes
 (``dropDuplicatesWithinWatermark`` included).
 
 100 TB shape: the stateful shuffle moves only ``(band, bucket, doc_id,
@@ -134,9 +142,11 @@ def stream_minhash_decisions(
 ) -> DataFrame:
     """Per-(doc, band) collision decisions as an append stream.
 
-    Output: one row per input (doc, band) with ``collided`` = an earlier
-    arrival claimed this band's bucket. Bucket state evicts
-    ``watermark`` after the bucket's latest claim (EventTimeTimeout)."""
+    Output: one row per input (doc, band) with ``collided`` = a
+    prior-processed arrival claimed this band's bucket (processing order
+    is (ts, doc_id) within a batch, batch order across batches — see the
+    module contract). Bucket state evicts ``watermark`` after the
+    bucket's latest claim (EventTimeTimeout)."""
     ttl_ms = duration_to_ms(watermark)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -154,11 +164,13 @@ def stream_minhash_decisions(
             if owner is None:
                 owner = cand
             elif cand != owner:
-                # strictly-earlier owner claims; equal keys (re-delivery
-                # of the same doc) count as collisions too
+                # the existing claim is FINAL — no owner swap even when a
+                # later batch delivers an event-time-earlier doc, because
+                # the old owner's kept verdict was already emitted and
+                # cannot be retracted (claims and verdicts must agree).
+                # Exact re-delivery of the owner (cand == owner) is
+                # idempotently kept, never a collision.
                 out_collided[i] = True
-                if cand < owner:
-                    owner = cand  # late-data refinement for later batches
         state.update(owner)
         # eviction at (bucket's latest traffic + ttl); Spark requires the
         # timeout to sit beyond the current watermark, which can overtake

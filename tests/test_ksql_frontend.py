@@ -957,3 +957,68 @@ def test_delimited_value_format(engine):
             "CREATE STREAM nope (x DOUBLE) "
             "WITH (kafka_topic='n', value_format='avro');"
         )
+
+
+def test_insert_select_transitive_cycle_rejected(engine):
+    """r6 ADVICE: mutual INSERT INTO feeders (a <- b and b <- a) must be
+    rejected at INSERT time — ksqlDB rejects circular reads too — instead
+    of recursing unboundedly at the target's next refresh. The rejected
+    INSERT leaves no hidden feeder behind."""
+    engine.execute(
+        "CREATE STREAM cyc_a (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='cyc_a', value_format='json');"
+        "CREATE STREAM cyc_b (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='cyc_b', value_format='json');"
+        "INSERT INTO cyc_a (k, val) VALUES ('x', 1.0);"
+        "INSERT INTO cyc_b (k, val) VALUES ('y', 10.0);"
+        "INSERT INTO cyc_a SELECT k, val FROM cyc_b;"
+    )
+    with pytest.raises(Exception, match="cycle"):
+        engine.execute("INSERT INTO cyc_b SELECT k, val FROM cyc_a;")
+    # the surviving acyclic feeder still works, and no orphan remains
+    engine.execute(
+        "CREATE TABLE cyc_tot AS SELECT k AS k, SUM(val) AS s "
+        "FROM cyc_a GROUP BY k EMIT CHANGES;"
+    )
+    rows = sorted((r["k"], r["s"]) for r in engine.execute("SELECT * FROM cyc_tot;"))
+    assert rows == [("x", 1.0), ("y", 10.0)]
+    # indirect cycle through a CSAS chain is caught too: d reads cyc_a,
+    # so cyc_a must not accept a feeder selecting from d
+    engine.execute("CREATE STREAM cyc_d AS SELECT k, val * 2 AS val FROM cyc_a;")
+    with pytest.raises(Exception, match="cycle"):
+        engine.execute("INSERT INTO cyc_a SELECT k, val FROM cyc_d;")
+
+
+def test_drop_stream_with_dependents(engine):
+    """r6 ADVICE: DROP of a stream with visible derived readers is
+    refused (ksqlDB parity); hidden INSERT feeders cascade-remove with
+    their source or target instead of dangling into a KeyError."""
+    engine.execute(
+        "CREATE STREAM src_s (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='src_s', value_format='json');"
+        "INSERT INTO src_s (k, val) VALUES ('a', 1.0);"
+        "CREATE STREAM der_s AS SELECT k, val * 10 AS val FROM src_s;"
+    )
+    with pytest.raises(Exception, match="drop them first"):
+        engine.execute("DROP STREAM src_s;")
+    engine.execute("DROP STREAM der_s; DROP STREAM src_s;")
+    assert "src_s" not in engine.execute("SHOW STREAMS;")
+    # feeder cascade: dropping the feeder's SOURCE removes the hidden
+    # feeder; the target keeps working on its own rows afterwards
+    engine.execute(
+        "CREATE STREAM tgt_s (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='tgt_s', value_format='json');"
+        "CREATE STREAM side_s (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='side_s', value_format='json');"
+        "INSERT INTO tgt_s (k, val) VALUES ('t', 1.0);"
+        "INSERT INTO side_s (k, val) VALUES ('s', 2.0);"
+        "INSERT INTO tgt_s SELECT k, val FROM side_s;"
+        "DROP STREAM side_s;"
+        "CREATE TABLE tgt_tot AS SELECT k AS k, SUM(val) AS s "
+        "FROM tgt_s GROUP BY k EMIT CHANGES;"
+    )
+    rows = sorted((r["k"], r["s"]) for r in engine.execute("SELECT * FROM tgt_tot;"))
+    # side_s's already-merged row survives in tgt_s's topic data; the
+    # feeder itself is gone (no refresh KeyError, no _ins_ leftovers)
+    assert ("t", 1.0) in rows
+    assert all(not s.startswith("_ins_") for s in engine.execute("SHOW STREAMS;"))
