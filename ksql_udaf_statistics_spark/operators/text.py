@@ -103,6 +103,66 @@ def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     return F.lit(1.0) - distinct.cast("double") / total
 
 
+def positional_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingle strings IN POSITION ORDER (one per start
+    offset, no distinct) — the form boilerplate STRIPPING needs, where
+    :func:`~..operators.dedup.word_shingles` (distinct set) is the form
+    boilerplate DETECTION needs.
+
+    Cost shape: built by zipping the word array against its own shifted
+    slices (the same rolling idiom as ``dedup.word_shingle_hashes``), so
+    every reference to the split stays in row position — O(len * n) per
+    document. Never ``F.slice(w, i + 1, n)`` inside a per-element
+    ``transform`` lambda: that re-evaluates the whole split per element,
+    the measured-10x O(len^2) HOF trap."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    size = F.size(w)
+    sh = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(size - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws skips
+        # NULLs, so tail entries are short partial shingles — trimmed by
+        # the final slice to exactly the size-(n-1) full shingles
+        sh = F.zip_with(sh, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(sh, 1, F.greatest(size - (n - 1), F.lit(0)))
+
+
+def boilerplate_covered_count(
+    text: Column | str, boilerplate: list[str], n: int = 3
+) -> Column:
+    """Number of word positions covered by at least one occurrence of a
+    boilerplate n-gram — the token-level removal cost of stripping every
+    match of the ``boilerplate`` set (e.g. ``boilerplate_ngrams_topk``'s
+    output) from the document.
+
+    A word at position j is covered when ANY shingle starting in
+    ``[j-n+1, j]`` is in the set. Computed without per-element indexing:
+    the per-start membership flags are OR-folded against their own
+    0..n-1 shifted paddings via ``zip_with`` — O(len * n) per document,
+    all JVM codegen. The boilerplate set (top-k rows, KBs) rides into
+    the plan as a foldable literal array — the broadcast-lite pattern
+    for driver-known small sets. Documents with fewer than ``n`` words
+    have no full shingle and count 0."""
+    bset = F.array(*[F.lit(s) for s in boilerplate])
+    fl = F.transform(
+        positional_shingles(text, n), lambda s: F.array_contains(bset, s)
+    )
+    false_pad = lambda k: F.array_repeat(F.lit(False), k)  # noqa: E731
+    covered = None
+    for k in range(n):
+        shifted = (
+            fl if n == 1
+            else F.concat(false_pad(k), fl, false_pad(n - 1 - k))
+        )
+        covered = shifted if covered is None else F.zip_with(
+            covered, shifted, lambda a, b: a | b
+        )
+    return F.aggregate(
+        covered, F.lit(0), lambda acc, x: acc + F.when(x, 1).otherwise(0)
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: first 15 hex digits of
     md5 as a bigint (rolling-hash stand-in that DuckDB reproduces exactly

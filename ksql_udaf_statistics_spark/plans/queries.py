@@ -2066,6 +2066,75 @@ def q_repetition_profile(spark, sf_dir):
     )
 
 
+@register(
+    "boilerplate_strip_stats",
+    """WITH sh AS (
+         SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                  i -> array_to_string(list_slice(string_split(text, ' '), i, i+2), ' ')
+                ))) AS shingle
+         FROM documents),
+       topk AS (
+         SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) >= 3
+         ORDER BY count(*) DESC, shingle LIMIT 50),
+       bset AS (SELECT list(shingle) AS bs FROM topk),
+       d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       f AS (SELECT source, len(w) AS n,
+                    list_transform(
+                      generate_series(1, greatest(len(w) - 2, 0)),
+                      i -> list_contains(bs, array_to_string(list_slice(w, i, i+2), ' '))
+                    ) AS fl
+             FROM d, bset),
+       c AS (SELECT source, n,
+                    len(list_filter(generate_series(1, n),
+                      j -> (j <= n - 2 AND fl[j])
+                        OR (j >= 2 AND j - 1 <= n - 2 AND fl[j - 1])
+                        OR (j >= 3 AND j - 2 <= n - 2 AND fl[j - 2]))) AS bt
+             FROM f)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS total_tokens,
+              CAST(sum(bt) AS BIGINT) AS boilerplate_tokens,
+              CAST(sum(n - bt) AS BIGINT) AS retained_tokens,
+              CAST(sum(CASE WHEN bt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_affected
+       FROM c GROUP BY source""",
+)
+def q_boilerplate_strip_stats(spark, sf_dir):
+    """Boilerplate REMOVAL pass (r6) — the consumer of
+    ``boilerplate_ngrams_topk``: per source, how many tokens a strip of
+    every occurrence of the top-50 boilerplate 3-grams would delete and
+    how many survive (a word is stripped when any 3-gram occurrence
+    covering it is in the set). The before/after token ledger is the
+    acceptance report every template-removal deploy needs.
+
+    100 TB shape: phase 1 (the top-k) is the already-audited single
+    shingle hash-agg + TakeOrderedAndProject; its 50-row output is
+    driver-collected (KBs) and folded into phase 2's plan as a foldable
+    literal array — the broadcast-lite pattern, no join, no shuffle of
+    the big side. Phase 2 is one scan of documents with O(len*3)/doc
+    rolling shingle+coverage Column algebra
+    (operators/text.py::boilerplate_covered_count, zero Python) into a
+    per-source hash aggregation with map-side partials."""
+    docs = _load(spark, sf_dir, "documents")
+    top = [r["shingle"] for r in q_boilerplate_ngrams_topk(spark, sf_dir).collect()]
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bt = T.boilerplate_covered_count(F.col("text"), top, n=3)
+    return (
+        docs.select("source", n_tok.alias("n"), bt.alias("bt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("bt").cast("long").alias("boilerplate_tokens"),
+            F.sum(F.col("n") - F.col("bt")).cast("long").alias("retained_tokens"),
+            F.sum(F.when(F.col("bt") > 0, 1).otherwise(0)).cast("long")
+            .alias("docs_affected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

@@ -542,3 +542,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh_was)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_boilerplate_strip_coverage(spark):
+    """r6: boilerplate_covered_count marks a word covered iff any 3-gram
+    occurrence over it is in the set — overlapping matches union, short
+    docs have no full shingle, non-matching docs count 0."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x a b c y"),        # one interior match -> 3
+            Row(doc_id=2, text="a b a b a"),        # overlap at 0 and 2 -> 5
+            Row(doc_id=3, text="a b"),              # too short -> 0
+            Row(doc_id=4, text="q r s t"),          # no match -> 0
+            Row(doc_id=5, text="a b c a b c"),      # starts 0 and 3 -> 6
+        ]
+    )
+    bt = T.boilerplate_covered_count(F.col("text"), ["a b c", "a b a"], n=3)
+    got = {r["doc_id"]: r["bt"] for r in docs.select("doc_id", bt.alias("bt")).collect()}
+    assert got == {1: 3, 2: 5, 3: 0, 4: 0, 5: 6}
+    # positional shingles keep order and multiplicity (no distinct)
+    sh = docs.filter(F.col("doc_id") == 5).select(
+        T.positional_shingles(F.col("text"), 3).alias("s")
+    ).collect()[0]["s"]
+    assert sh == ["a b c", "b c a", "c a b", "a b c"]
