@@ -418,6 +418,66 @@ def _assign_clusters(df: DataFrame, centroids, id_col: str, vec_col: str,
     return df.select(id_col, vec_col).mapInPandas(batches, schema)
 
 
+def _sampled_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str, seed: int
+) -> np.ndarray:
+    """Deterministic hash-sampled seed centroids (r4 choice, k-means seed
+    in r6): the n_centroids corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — order-stable across runs and partitionings."""
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """K-means (Lloyd) training of the IVF coarse quantizer, fully
+    distributed — no driver loop over vectors.
+
+    Each round is (a) one Arrow-batched assignment pass against the
+    broadcast current centroids (numpy matmul per batch, the same kernel
+    probing uses) and (b) one ``posexplode`` + hash aggregation computing
+    the per-(cluster, dimension) mean with map-side partials — the
+    ``embedding_centroids`` plan shape. Only ``n_centroids * dim`` rows
+    (KBs) ever reach the driver per round; the corpus is scanned
+    ``n_iters + probing`` times and never shuffled by vector payload.
+    Empty clusters keep their previous centroid. Seeded from the
+    deterministic hash sample, so the whole procedure is reproducible.
+
+    Better-trained centroids raise recall at fixed ``n_probe`` on
+    clustered corpora (the usual IVF contract); with
+    ``n_probe == n_centroids`` results still equal brute force exactly,
+    which is how ``ann_ivf_verified`` keeps the trained path under the
+    exact DuckDB oracle."""
+    C = _sampled_centroids(corpus, n_centroids, id_col, vec_col, seed)
+    base = corpus.select(id_col, vec_col)
+    for _ in range(max(n_iters, 0)):
+        assigned = _assign_clusters(base, C, id_col, vec_col, 1, "train")
+        means = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        newC = C.copy()
+        for r in means:
+            newC[r["cluster_id"], r["pos"]] = r["m"]
+        C = newC
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -427,6 +487,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: deterministic hash-sampled centroids bucket
     the corpus once; each query probes its ``n_probe`` nearest centroid
@@ -438,13 +499,12 @@ def ivf_topk(
     """
     _require_long_id(corpus, id_col, "ivf_topk")
     _require_long_id(queries, id_col, "ivf_topk")
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    if train_iters > 0:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, train_iters, id_col, vec_col, seed
+        )
+    else:
+        centroids = _sampled_centroids(corpus, n_centroids, id_col, vec_col, seed)
 
     c_assigned = _assign_clusters(corpus, centroids, id_col, vec_col, 1, "corpus")
     q_assigned = _assign_clusters(queries, centroids, id_col, vec_col, n_probe, "query")

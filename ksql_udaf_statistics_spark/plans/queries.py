@@ -1084,10 +1084,13 @@ def q_token_value_windowed(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     """rows-only BY NATURE: at n_probe < n_centroids IVF recall is < 1 by
     design, so the row set differs from any exact oracle. The full path
-    is hash-oracled via ann_ivf_verified (full probing = brute force)."""
+    is hash-oracled via ann_ivf_verified (full probing = brute force).
+    r6: centroids are k-means-TRAINED (2 distributed Lloyd rounds seeded
+    from the hash sample) — higher recall at the same n_probe."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4,
+                      train_iters=2)
 
 
 @register(
@@ -1112,10 +1115,13 @@ def q_ann_ivf_verified(spark, sf_dir):
     QUALIFY oracle then hash-verifies the whole path (centroid sampling,
     Arrow cluster assignment, probed join, exact re-rank, window top-k).
     Production runs set n_probe << n_centroids for the speed/recall
-    trade; this entry pins the machinery itself exact."""
+    trade; this entry pins the machinery itself exact — r6 included: the
+    k-means-trained quantizer (train_iters=2) runs inside this gate, so
+    training cannot silently break the probe/re-rank contract."""
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    out = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16)
+    out = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=16,
+                     train_iters=2)
     return out.select(
         "query_id", "neighbor_id", round6(F.col("cos_sim")).alias("cos_sim")
     )

@@ -565,3 +565,38 @@ def test_boilerplate_strip_coverage(spark):
         T.positional_shingles(F.col("text"), 3).alias("s")
     ).collect()[0]["s"]
     assert sh == ["a b c", "b c a", "c a b", "a b c"]
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """r6: k-means-trained centroids must match or beat the hash-sampled
+    seed's recall at the same n_probe on a clustered corpus, and with
+    n_probe == n_centroids the trained path still equals brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, size=(8, 32)) * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(60):
+            rows.append((vid, (c + rng.normal(0, 0.5, 32)).astype("float32").tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = df.filter(F.col("vec_id") % 60 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(df, queries, k=5).collect()}
+
+    def recall(train_iters):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in S.ivf_topk(df, queries, k=5, n_centroids=16, n_probe=2,
+                                   train_iters=train_iters).collect()}
+        return len(exact & got) / len(exact)
+
+    r_sampled, r_trained = recall(0), recall(2)
+    assert r_trained >= r_sampled, (r_trained, r_sampled)
+    assert r_trained >= 0.9, r_trained
+    # probe-all exactness survives training
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(df, queries, k=5, n_centroids=16, n_probe=16,
+                                train_iters=2).collect()}
+    assert full == exact
