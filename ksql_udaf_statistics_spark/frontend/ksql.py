@@ -135,6 +135,9 @@ class StreamSpec:
     # derived streams whose rows union into this stream at read time
     # (ksqlDB's stream-merge persistent query)
     feeders: list = field(default_factory=list)
+    # the declared WITH (kafka_topic=...) name; None -> the stream name.
+    # SHOW TOPICS / PRINT address streams by topic, ksqlDB-style.
+    topic: Optional[str] = None
 
 
 @dataclass
@@ -549,6 +552,10 @@ class KsqlEngine:
         self.streams: dict[str, StreamSpec] = {}
         self.tables: dict[str, TableSpec] = {}
         self.derived: dict[str, CsasSpec] = {}  # CSAS streams by name
+        # TERMINATEd persistent-query ids ("ctas_<table>"/"csas_<stream>"):
+        # the object survives, its maintenance query stops — pull queries
+        # serve the last materialized state (ksqlDB TERMINATE semantics)
+        self.terminated: set[str] = set()
         os.makedirs(workdir, exist_ok=True)
 
     # -- public API ----------------------------------------------------------
@@ -603,16 +610,100 @@ class KsqlEngine:
         if head.startswith("SHOW TABLES"):
             return sorted(self.tables)
         if head.startswith("SHOW QUERIES"):
-            # the persistent queries maintaining tables + derived streams
+            # the persistent queries maintaining tables + derived streams;
+            # TERMINATEd queries no longer run, so they no longer list
             return sorted(
-                [f"CTAS_{n}" for n in self.tables]
-                + [f"CSAS_{n}" for n in self.derived]
+                [f"CTAS_{n}" for n in self.tables
+                 if f"ctas_{n}" not in self.terminated]
+                + [f"CSAS_{n}" for n in self.derived
+                   if f"csas_{n}" not in self.terminated]
             )
+        if head.startswith("SHOW TOPICS"):
+            # every registered backing "topic" (stream directory): source
+            # streams' declared kafka_topic, derived streams' own name,
+            # and CTAS output topics from WITH (KAFKA_TOPIC=...)
+            topics = {
+                sp.topic or n for n, sp in self.streams.items()
+                if not n.startswith("_ins_")
+            }
+            topics |= {
+                str(sp.with_opts.get("kafka_topic", n)).lower()
+                for n, sp in self.tables.items()
+                if not isinstance(sp, TableViewSpec)
+            }
+            return sorted(topics)
+        if head.startswith("TERMINATE"):
+            return self._terminate(stmt)
+        if head.startswith("PRINT"):
+            return self._print_topic(stmt)
         if head.startswith("DESCRIBE"):
             return self._describe(stmt)
         if head.startswith("EXPLAIN"):
             return self._explain(stmt)
         raise KsqlParseError(f"unsupported statement: {stmt[:60]!r}")
+
+    def _terminate(self, stmt: str) -> None:
+        """``TERMINATE <query_id>|ALL`` — stop a persistent query without
+        dropping its object (ksqlDB CLI teardown order: TERMINATE, then
+        DROP). The table/derived stream keeps serving its last
+        materialized state; SHOW QUERIES drops the id; DROP of the object
+        clears the marker so a re-created same-named object runs fresh."""
+        m = re.match(r"TERMINATE\s+(\w+)\s*$", stmt, re.IGNORECASE)
+        if not m:
+            raise KsqlParseError(f"cannot parse TERMINATE: {stmt[:60]!r}")
+        qid = m.group(1).lower()
+        if qid == "all":
+            self.terminated |= {f"ctas_{n}" for n in self.tables}
+            self.terminated |= {f"csas_{n}" for n in self.derived}
+            return
+        known = (
+            qid.startswith("ctas_") and qid[5:] in self.tables
+        ) or (qid.startswith("csas_") and qid[5:] in self.derived)
+        if not known:
+            raise KsqlParseError(
+                f"unknown query id {qid.upper()!r} — SHOW QUERIES lists "
+                f"the running ids"
+            )
+        if qid in self.terminated:
+            raise KsqlParseError(f"query {qid.upper()!r} is already terminated")
+        self.terminated.add(qid)
+
+    def _print_topic(self, stmt: str) -> list[str]:
+        """``PRINT <topic> [FROM BEGINNING] [LIMIT n]`` — tail a topic's
+        records as wire-format JSON strings (rowtime included). The
+        file-backed engine has no live tail, so records are always served
+        from the beginning of the directory in event-time order — the
+        availableNow analogue of ksqlDB's console tail."""
+        m = re.match(
+            r"PRINT\s+'?([\w.-]+)'?(\s+FROM\s+BEGINNING)?"
+            r"(?:\s+LIMIT\s+(\d+))?\s*$",
+            stmt, re.IGNORECASE,
+        )
+        if not m:
+            raise KsqlParseError(f"cannot parse PRINT: {stmt[:60]!r}")
+        topic = m.group(1).lower()
+        spec = next(
+            (sp for n, sp in self.streams.items()
+             if (sp.topic or n) == topic or n == topic),
+            None,
+        )
+        if spec is None:
+            raise KsqlParseError(
+                f"unknown topic {topic!r} — SHOW TOPICS lists them"
+            )
+        if spec.name in self.derived:
+            self.refresh_stream(spec.name)
+        df = self._stream_df(spec, streaming=False)
+        if spec.ts_col in df.columns:
+            df = df.orderBy(spec.ts_col)
+        if m.group(3):
+            df = df.limit(int(m.group(3)))
+        return [
+            r["v"]
+            for r in df.select(
+                F.to_json(F.struct(*df.columns)).alias("v")
+            ).collect()
+        ]
 
     def _explain(self, stmt: str) -> str:
         """``EXPLAIN <table|stream>`` — the Spark physical plan of the
@@ -713,6 +804,7 @@ class KsqlEngine:
                         shutil.rmtree(dcsas.checkpoint, ignore_errors=True)
             spec = self.streams.pop(name, None)
             csas = self.derived.pop(name, None)
+            self.terminated.discard(f"csas_{name}")
             if spec is None:
                 if "IF EXISTS" in stmt.upper():
                     return
@@ -739,6 +831,7 @@ class KsqlEngine:
                 shutil.rmtree(spec.path, ignore_errors=True)
         else:
             tspec = self.tables.pop(name, None)
+            self.terminated.discard(f"ctas_{name}")
             if tspec is None:
                 if "IF EXISTS" in stmt.upper():
                     return
@@ -786,6 +879,7 @@ class KsqlEngine:
         self.streams[name] = StreamSpec(
             name, StructType(schema_fields), path, ts_col,
             fmt="csv" if vfmt == "delimited" else "json",
+            topic=str(opts.get("kafka_topic", name)).lower(),
         )
 
     # -- CREATE STREAM AS (CSAS) ---------------------------------------------
@@ -965,6 +1059,10 @@ class KsqlEngine:
                 "feeder cycle detected during refresh: "
                 + " -> ".join((*_chain, name))
             )
+        if f"csas_{name}" in self.terminated:
+            # TERMINATEd CSAS: the derived directory stays at its last
+            # drained state; downstream readers consume that snapshot
+            return
         chain = (*_chain, name)
         spec = self.derived[name]
         ups = [spec.source] + ([spec.join["stream"]] if spec.join else [])
@@ -1633,6 +1731,10 @@ class KsqlEngine:
         table (availableNow trigger on the shared checkpoint — the bounded
         analogue of ksqlDB's continuous EMIT CHANGES query; each call
         resumes incrementally, reprocessing nothing)."""
+        if f"ctas_{table}" in self.terminated:
+            # the maintenance query was TERMINATEd: serve the last
+            # materialized state, drain nothing (ksqlDB semantics)
+            return
         spec = self.tables[table]
         if isinstance(spec, TableViewSpec):
             # table view / table-table join: refresh the parents; the

@@ -1022,3 +1022,48 @@ def test_drop_stream_with_dependents(engine):
     # feeder itself is gone (no refresh KeyError, no _ins_ leftovers)
     assert ("t", 1.0) in rows
     assert all(not s.startswith("_ins_") for s in engine.execute("SHOW STREAMS;"))
+
+
+def test_terminate_show_topics_print(engine):
+    """r6 dialect long-tail: SHOW TOPICS lists backing topics, PRINT
+    tails a topic's records from the beginning, TERMINATE stops a
+    table's maintenance query (state freezes, SHOW QUERIES drops the
+    id, DROP clears the marker for a fresh same-named re-create)."""
+    engine.execute(
+        "CREATE STREAM tp (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='tp_topic', value_format='json');"
+        "INSERT INTO tp (k, val) VALUES ('a', 1.0);"
+        "INSERT INTO tp (k, val) VALUES ('b', 2.0);"
+        "CREATE TABLE tp_tot WITH (KAFKA_TOPIC='tp_out') AS "
+        "SELECT k AS k, SUM(val) AS s FROM tp GROUP BY k EMIT CHANGES;"
+    )
+    topics = engine.execute("SHOW TOPICS;")
+    assert "tp_topic" in topics and "tp_out" in topics
+    # PRINT serves the wire records (JSON, rowtime included), LIMIT caps
+    recs = engine.execute("PRINT 'tp_topic' FROM BEGINNING;")
+    assert len(recs) == 2 and '"k":"a"' in recs[0] and "rowtime" in recs[0]
+    assert len(engine.execute("PRINT tp_topic LIMIT 1;")) == 1
+    with pytest.raises(Exception, match="unknown topic"):
+        engine.execute("PRINT nope_topic;")
+    # TERMINATE freezes the table at its current state
+    assert engine.execute("SELECT * FROM tp_tot;")  # materialize first
+    engine.execute("TERMINATE CTAS_tp_tot;")
+    assert "CTAS_tp_tot" not in engine.execute("SHOW QUERIES;")
+    engine.execute("INSERT INTO tp (k, val) VALUES ('a', 100.0);")
+    rows = {r["k"]: r["s"] for r in engine.execute("SELECT * FROM tp_tot;")}
+    assert rows == {"a": 1.0, "b": 2.0}  # the new insert did NOT drain
+    with pytest.raises(Exception, match="already terminated"):
+        engine.execute("TERMINATE CTAS_tp_tot;")
+    with pytest.raises(Exception, match="unknown query id"):
+        engine.execute("TERMINATE CTAS_nope;")
+    # ksqlDB teardown order works, and re-create runs fresh (drains all)
+    engine.execute("DROP TABLE tp_tot;")
+    engine.execute(
+        "CREATE TABLE tp_tot AS SELECT k AS k, SUM(val) AS s "
+        "FROM tp GROUP BY k EMIT CHANGES;"
+    )
+    rows = {r["k"]: r["s"] for r in engine.execute("SELECT * FROM tp_tot;")}
+    assert rows == {"a": 101.0, "b": 2.0}
+    # TERMINATE ALL empties SHOW QUERIES
+    engine.execute("TERMINATE ALL;")
+    assert engine.execute("SHOW QUERIES;") == []
