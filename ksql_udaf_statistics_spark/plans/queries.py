@@ -2141,6 +2141,69 @@ def q_boilerplate_strip_stats(spark, sf_dir):
     )
 
 
+@register("curation_stream_funnel")
+def q_curation_stream_funnel(spark, sf_dir):
+    """Streaming curation funnel (r6, VERDICT directive #8): the
+    documents table replayed as a 2-batch stream through ONE continuous
+    query — stateless quality filter -> watermark-bounded MinHash
+    near-dup gate (exact dups subsumed: identical texts share every band
+    bucket) -> per-doc verdict -> TWO materialized tables per batch
+    (kept corpus + additive per-source funnel counts), both through
+    exactly-once sinks (streaming/funnel.py). Returns the funnel table
+    (source, n_docs, n_quality, n_kept, tokens_kept). rows-only BY
+    NATURE (n_kept depends on xxhash64 banding); its verified twin is
+    pytest parity with ``curation_funnel_batch_twin`` on the drained
+    corpus plus the checkpoint-resume additive-exactness test
+    (tests/test_neardup.py::test_streaming_curation_funnel*)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.funnel import (
+        read_funnel_table, run_stream_curation_funnel,
+    )
+    from ..streaming.sink import ExactlyOnceParquetSink
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text",
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("doc_id").cast("long")
+        ).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="kuss_streamfunnel_")
+    try:
+        src = os.path.join(work, "src")
+        # range-partitioned on ts: file/processing order == event order ==
+        # the batch twin's arrival order (deterministic kept-set)
+        docs.repartitionByRange(2, F.col("ts")).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        kept_sink = ExactlyOnceParquetSink(
+            os.path.join(work, "kept"), key_cols=["doc_id"]
+        )
+        funnel_sink = ExactlyOnceParquetSink(
+            os.path.join(work, "funnel"), key_cols=["source"]
+        )
+        q = run_stream_curation_funnel(
+            stream, kept_sink, funnel_sink, os.path.join(work, "ckpt"),
+            watermark="24 hours",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming curation funnel did not drain within 300s; "
+                "refusing to return a partial funnel table"
+            )
+        rows = read_funnel_table(funnel_sink, spark).orderBy("source")
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

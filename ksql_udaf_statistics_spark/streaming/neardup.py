@@ -51,7 +51,7 @@ the document store (or the raw stream) by id.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import Optional
 
 import pandas as pd
@@ -82,13 +82,16 @@ def duration_to_ms(d: str) -> int:
 def band_buckets(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ts_col: Optional[str] = None, n: int = 3, num_hashes: int = 32,
-    bands: int = 16, seed: int = 1,
+    bands: int = 16, seed: int = 1, carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exploded LSH candidate rows ``(doc_id[, ts], band, bucket)``.
 
     Same banding as ``dedup.minhash_lsh_pairs`` (bands x rows =
     num_hashes; bucket = xxhash64 of the band's signature slice) — one
-    narrow row per (doc, band), id-only."""
+    narrow row per (doc, band), id-only. ``carry_cols`` ride through for
+    consumers that need per-doc metadata past the gate (the curation
+    funnel carries ``source``/``n_tok`` — a dozen bytes per band row,
+    still no text or signature payload in the stateful shuffle)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     docs = documents
@@ -96,7 +99,7 @@ def band_buckets(
         docs = docs.withColumnRenamed(id_col, "doc_id")
     if ts_col and ts_col != "ts":
         docs = docs.withColumnRenamed(ts_col, "ts")
-    keep = ["doc_id"] + (["ts"] if ts_col else [])
+    keep = ["doc_id"] + (["ts"] if ts_col else []) + list(carry_cols)
     # ts rides THROUGH the signature projection (extra_cols) — no join
     # back to the document table just to re-attach a timestamp
     sig = minhash_signatures(
@@ -139,6 +142,7 @@ def stream_minhash_decisions(
     stream_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ts_col: str = "ts", watermark: str = "1 hour", n: int = 3,
     num_hashes: int = 32, bands: int = 16, seed: int = 1,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-(doc, band) collision decisions as an append stream.
 
@@ -146,8 +150,16 @@ def stream_minhash_decisions(
     prior-processed arrival claimed this band's bucket (processing order
     is (ts, doc_id) within a batch, batch order across batches — see the
     module contract). Bucket state evicts ``watermark`` after the
-    bucket's latest claim (EventTimeTimeout)."""
+    bucket's latest claim (EventTimeTimeout). ``carry_cols`` (per-doc
+    metadata from ``stream_docs``) pass through unchanged, appended after
+    the decision columns."""
     ttl_ms = duration_to_ms(watermark)
+    carry_cols = list(carry_cols)
+    in_fields = {f.name: f for f in stream_docs.schema.fields}
+    out_schema = StructType(
+        list(_DECISION_SCHEMA.fields)
+        + [StructField(c, in_fields[c].dataType) for c in carry_cols]
+    )
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -177,18 +189,22 @@ def stream_minhash_decisions(
         # a bucket fed only by late-but-not-dropped rows
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(int(ts_ms.max()) + ttl_ms, wm + 1))
-        yield pd.DataFrame({
+        out = {
             "doc_id": rows["doc_id"], "ts": rows["ts"],
             "collided": out_collided,
-        })
+        }
+        for c in carry_cols:
+            out[c] = rows[c]
+        yield pd.DataFrame(out)
 
     bb = band_buckets(
         stream_docs.withWatermark(ts_col, watermark),
         text_col=text_col, id_col=id_col, ts_col=ts_col,
         n=n, num_hashes=num_hashes, bands=bands, seed=seed,
+        carry_cols=carry_cols,
     )
     return bb.groupBy("band", "bucket").applyInPandasWithState(
-        update, _DECISION_SCHEMA, _BUCKET_STATE, "append",
+        update, out_schema, _BUCKET_STATE, "append",
         GroupStateTimeout.EventTimeTimeout,
     )
 

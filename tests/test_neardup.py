@@ -205,3 +205,151 @@ def test_streaming_curation_pipeline(spark, tmp_dir):
     ).filter(quality_score(F.col("text")) >= 0.5)
     twin = {r["doc_id"] for r in minhash_dedup_batch(batch_docs).collect()}
     assert kept == twin
+
+
+SRC_SCHEMA = "doc_id string, source string, text string, ts string"
+
+
+def _sdoc(doc_id, source, ts, words):
+    return (doc_id, source, " ".join(words), ts)
+
+
+def test_streaming_curation_funnel(spark, tmp_dir):
+    """Directive-#8 capstone: ONE streaming query maintains BOTH curated
+    corpus (kept table) and per-source funnel counts (second EMIT CHANGES
+    table) across micro-batches; the drained funnel equals the batch twin
+    exactly (counts AND kept-set)."""
+    from ksql_udaf_statistics_spark.streaming.funnel import (
+        curation_funnel_batch_twin,
+        read_funnel_table,
+        run_stream_curation_funnel,
+    )
+
+    passing = (["the", "a", "of", "to", "in"] * 8 + WORDS) * 2
+    other = (["and", "or", "is", "it", "the"] * 12
+             + [f"q{i}" for i in range(40)])
+    batch1 = [
+        _sdoc("a", "web", "2024-01-01 00:00:00", passing),
+        _sdoc("junk1", "web", "2024-01-01 00:00:10", ["zz"]),
+        _sdoc("b", "books", "2024-01-01 00:01:00", other),
+    ]
+    batch2 = [
+        _sdoc("a_exact", "web", "2024-01-01 00:02:00", passing),
+        _sdoc("a_near", "wiki", "2024-01-01 00:03:00", _near(passing, "xq")),
+        _sdoc("junk2", "books", "2024-01-01 00:03:30", ["yy", "qq"]),
+        _sdoc("c", "wiki", "2024-01-01 00:04:00",
+              (["the", "of", "and", "to", "it"] * 10
+               + [f"r{i}" for i in range(45)])),
+    ]
+    src = os.path.join(tmp_dir, "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate([batch1, batch2]):
+        staged = os.path.join(tmp_dir, f"sstage{i}")
+        spark.createDataFrame(rows, SRC_SCHEMA).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:02d}.parquet"))
+        shutil.rmtree(staged)
+
+    stream = spark.readStream.schema(
+        "doc_id string, source string, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    kept_sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "kept"), ["doc_id"])
+    funnel_sink = ExactlyOnceParquetSink(
+        os.path.join(tmp_dir, "funnel"), ["source"])
+    q = run_stream_curation_funnel(
+        stream, kept_sink, funnel_sink, os.path.join(tmp_dir, "ckpt"))
+    assert q.awaitTermination(240)
+
+    kept = {r["doc_id"] for r in kept_sink.read_current(spark).collect()}
+    # junk fails quality; a_exact shares every band bucket with a;
+    # a_near collides in >=1 band; b and c are distinct survivors
+    assert kept == {"a", "b", "c"}
+
+    funnel = {
+        r["source"]: (r["n_docs"], r["n_quality"], r["n_kept"],
+                      r["tokens_kept"])
+        for r in read_funnel_table(funnel_sink, spark).collect()
+    }
+    all_docs = spark.createDataFrame(batch1 + batch2, SRC_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    twin = {
+        r["source"]: (r["n_docs"], r["n_quality"], r["n_kept"],
+                      r["tokens_kept"])
+        for r in curation_funnel_batch_twin(all_docs).collect()
+    }
+    assert funnel == twin
+    # spot-check the absolute shape, not just parity: web saw 3 docs
+    # (a, junk1, a_exact), 2 quality, 1 kept
+    assert funnel["web"][0] == 3 and funnel["web"][1] == 2
+    assert funnel["web"][2] == 1
+    # funnel table was maintained incrementally: both batches committed
+    assert len(funnel_sink.committed_batches()) >= 2
+
+
+def test_streaming_curation_funnel_resume(spark, tmp_dir):
+    """Checkpoint-resume: restart after draining batch 1, deliver batch 2,
+    and the funnel counts stay additive-exact (no double count of batch-1
+    docs, replay-safe base read)."""
+    from ksql_udaf_statistics_spark.streaming.funnel import (
+        curation_funnel_batch_twin,
+        read_funnel_table,
+        run_stream_curation_funnel,
+    )
+
+    passing = (["the", "a", "of", "to", "in"] * 8 + WORDS) * 2
+    batch1 = [_sdoc("a", "web", "2024-01-01 00:00:00", passing),
+              _sdoc("junk1", "web", "2024-01-01 00:00:10", ["zz"])]
+    batch2 = [_sdoc("a_near", "web", "2024-01-01 00:05:00",
+                    _near(passing, "xq")),
+              _sdoc("z", "books", "2024-01-01 00:06:00",
+                    (["the", "of", "and", "to", "it"] * 10
+                     + [f"z{i}" for i in range(45)]))]
+    src = os.path.join(tmp_dir, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(i, rows):
+        staged = os.path.join(tmp_dir, f"rstage{i}")
+        spark.createDataFrame(rows, SRC_SCHEMA).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{i:02d}.parquet"))
+        shutil.rmtree(staged)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id string, source string, text string, ts timestamp"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        kept_sink = ExactlyOnceParquetSink(
+            os.path.join(tmp_dir, "kept"), ["doc_id"])
+        funnel_sink = ExactlyOnceParquetSink(
+            os.path.join(tmp_dir, "funnel"), ["source"])
+        q = run_stream_curation_funnel(
+            stream, kept_sink, funnel_sink, os.path.join(tmp_dir, "ckpt"))
+        assert q.awaitTermination(240)
+        return kept_sink, funnel_sink
+
+    stage(0, batch1)
+    run()
+    stage(1, batch2)
+    kept_sink, funnel_sink = run()  # same checkpoint: resumes, no replay
+
+    kept = {r["doc_id"] for r in kept_sink.read_current(spark).collect()}
+    assert kept == {"a", "z"}  # a_near dropped via restored bucket state
+    funnel = {
+        r["source"]: (r["n_docs"], r["n_quality"], r["n_kept"],
+                      r["tokens_kept"])
+        for r in read_funnel_table(funnel_sink, spark).collect()
+    }
+    all_docs = spark.createDataFrame(batch1 + batch2, SRC_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    twin = {
+        r["source"]: (r["n_docs"], r["n_quality"], r["n_kept"],
+                      r["tokens_kept"])
+        for r in curation_funnel_batch_twin(all_docs).collect()
+    }
+    assert funnel == twin
+    assert funnel["web"] == (3, 2, 1, twin["web"][3])
