@@ -72,8 +72,11 @@ STATE_PROVIDER = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
 # carries a Spark-free host-ceiling probe (same burn/memburn kernels as
 # BENCH/hw_ceiling.py) taken immediately before it, so a
 # contended-window artifact is self-evidently contended.
-STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "4"))
-STREAM_SPREAD_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_SPREAD_SEC", "60"))
+# r6: 4->6 default attempts with longer pauses — r5's artifact showed
+# hour-scale contention windows; 6 attempts spread over ~10 min of bench
+# wall roughly doubles the chance one lands clean (VERDICT r5 #3).
+STREAM_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_STREAM_ATTEMPTS", "6"))
+STREAM_SPREAD_SEC = float(os.environ.get("SPARK_GRAFT_STREAM_SPREAD_SEC", "75"))
 # clean-window reference for the probe (BENCH/hw_ceiling_snapshots.jsonl,
 # 2026-08-17T05:20Z, an uncontended window): burn ~0.69 tasks/s/proc —
 # per-proc CPU throughput is flat across 4..16 procs when the host is
@@ -176,8 +179,14 @@ def host_probe() -> dict:
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides the in-process thread-mode master —
+    # the r6 scaling harness passes local-cluster[N,1,mem] so the 2->8
+    # criterion runs on REAL separate executor JVMs (each with its own
+    # heap/GC/task threads), removing the thread-mode substitution from
+    # the headline instance. cpus still sizes shuffle/parallelism.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(f"kuss-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
