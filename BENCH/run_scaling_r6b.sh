@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# r6 part 2: repeat lz4 sweep point (the first read 85k in an apparent
+# contention hole), 4->16 re-measure pairs with the sweep's best absolute
+# config (sp8 + zstd), and two extra local-cluster 2->8 pairs to tighten
+# the primary median.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+SEQ=24000000
+STREAM_SRC=/tmp/kuss_stream_src_${SEQ}
+
+run_bench () {  # $1=CPUS $2=outfile $3=master $4=state_partitions $5=codec
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$1" \
+  SPARK_GRAFT_MODE=streaming SPARK_GRAFT_BENCH_SEQUENCES="$SEQ" \
+  SPARK_GRAFT_STREAM_SRC="$STREAM_SRC" SPARK_GRAFT_STREAM_ATTEMPTS=1 \
+  SPARK_GRAFT_MASTER="$3" SPARK_GRAFT_STATE_PARTITIONS="$4" \
+  spark-submit --master "$3" \
+    --conf spark.driver.memory=12g \
+    --conf "spark.io.compression.codec=$5" \
+    --py-files BENCH/kuss_pkg.zip \
+    bench.py 2>/dev/null | tail -1 > "$2"
+  pkill -9 -f org.apache.spark.deploy.SparkSubmit >/dev/null 2>&1 || true
+  sleep 3
+}
+
+echo "=== lz4 repeat sweep point ===" >&2
+run_bench 16 BENCH/sweep16_sp8_lz4b.json "local[16]" 8 lz4
+
+for rep in 1 2; do
+  echo "=== r6 4->16 pair $rep (sp8 zstd) ===" >&2
+  run_bench 4  "BENCH/stream_r6_local4_rep${rep}.json"  "local[4]"  8 zstd
+  run_bench 16 "BENCH/stream_r6_local16_rep${rep}.json" "local[16]" 8 zstd
+done
+
+for rep in 4 5; do
+  echo "=== lc pair $rep ===" >&2
+  run_bench 2 "BENCH/stream_lc2_rep${rep}.json" "local-cluster[2,1,4096]" 8 lz4
+  run_bench 8 "BENCH/stream_lc8_rep${rep}.json" "local-cluster[8,1,4096]" 8 lz4
+done
+echo "=== r6b complete ===" >&2

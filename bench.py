@@ -199,6 +199,12 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
     )
+    # r6 lever sweep (BENCH/BASELINE.md): shuffle/IO codec is measurable
+    # on this DRAM-bound box — zstd shrinks shuffle + RocksDB-changelog
+    # bytes at a small CPU cost. Default stays overridable for A/B.
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        builder = builder.config("spark.io.compression.codec", codec)
     if STATE_PROVIDER == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
