@@ -468,7 +468,10 @@ def main():
             f"{sum(1 for *_, e in lc_pairs if e >= 0.8)} of "
             f"{len(lc_pairs)} pairs >= 0.8). Raw rep files: "
             "`BENCH/stream_lc{2,8}_rep*.json` (each embeds its Spark-free "
-            "host probe).",
+            "host probe). Codec is constant WITHIN each pair (reps 1-3 "
+            "lz4, reps 4+ zstd after the sweep below flipped the bench "
+            "default) — the ratio is codec-invariant and the spread "
+            "shows the criterion holds across both.",
         ]
 
     # r6: 16-thread lever sweep (state partitions / shuffle codec)

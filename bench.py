@@ -199,12 +199,17 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
     )
-    # r6 lever sweep (BENCH/BASELINE.md): shuffle/IO codec is measurable
-    # on this DRAM-bound box — zstd shrinks shuffle + RocksDB-changelog
-    # bytes at a small CPU cost. Default stays overridable for A/B.
-    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
-    if codec:
-        builder = builder.config("spark.io.compression.codec", codec)
+    # r6 lever sweep (BENCH/BASELINE.md): zstd as the shuffle/IO codec is
+    # the single biggest streaming-flagship lever found on this DRAM-bound
+    # box — same-storm back-to-back at local[16]/sp8 read 367,579 steady
+    # (zstd) vs 85,408/96,685 (lz4 twice): fewer bytes through shuffle +
+    # RocksDB-changelog + checkpoint IO beats lz4's lower CPU cost when
+    # memory bandwidth is the contended resource. At 100 TB the same
+    # trade holds wherever network/disk, not CPU, bounds the stage.
+    builder = builder.config(
+        "spark.io.compression.codec",
+        os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+    )
     if STATE_PROVIDER == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
