@@ -1154,6 +1154,193 @@ def q_cumulative_stats_all(spark, sf_dir):
     )
 
 
+def round6d(c) -> F.Column:
+    """Tie-safe 6-decimal round of a double that is already bit-identical on
+    both engines (exact decimal sums + one chain of IEEE ops): route the
+    final ROUND through decimal(38,12) so Spark (double-ROUND = Java
+    HALF_UP) and DuckDB (double-ROUND = nearbyint half-to-even) both round
+    half-away-from-zero. Same trick as :func:`mean6`, for arbitrary
+    expressions. Oracle twin: ``CAST((ROUND(CAST(expr AS DECIMAL(38,12)),
+    6) + 0.0) AS DOUBLE)``."""
+    c = F.round(c.cast("decimal(38,12)"), 6).cast("double") + F.lit(0.0)
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+_DRIFT_MIN_BASELINE = 12
+
+_DRIFT_VAR = "(b_s2 - b_s1 * b_s1 / n_baseline) / (n_baseline - 1)"
+_DRIFT_Z = (
+    f"(mean_value - b_s1 / n_baseline) / sqrt({_DRIFT_VAR})"
+)
+
+
+@register(
+    "drift_detector_events",
+    f"""WITH wm AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n_rows,
+             CAST({mean6_sql('value')} AS DOUBLE) AS mean_value
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT *,
+        count(mean_value) OVER w AS n_baseline,
+        CAST(sum(CAST(mean_value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS b_s1,
+        CAST(sum(CAST(mean_value AS DECIMAL(38,12))
+                 * CAST(mean_value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS b_s2
+      FROM wm
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_type, window_start, n_rows, mean_value, n_baseline,
+      CAST((ROUND(CAST(b_s1 / n_baseline AS DECIMAL(38,12)), 6) + 0.0) AS DOUBLE) AS baseline_mean,
+      CAST((ROUND(CAST(CASE WHEN {_DRIFT_VAR} > 0
+             THEN sqrt({_DRIFT_VAR}) END AS DECIMAL(38,12)), 6) + 0.0) AS DOUBLE) AS baseline_std,
+      CAST((ROUND(CAST(CASE WHEN {_DRIFT_VAR} > 0
+             THEN {_DRIFT_Z} END AS DECIMAL(38,12)), 6) + 0.0) AS DOUBLE) AS z_score,
+      CASE WHEN {_DRIFT_VAR} > 0 AND abs({_DRIFT_Z}) > 3.0
+           THEN 1 ELSE 0 END AS is_drift
+    FROM b WHERE n_baseline >= {_DRIFT_MIN_BASELINE}""",
+)
+def q_drift_detector_events(spark, sf_dir):
+    """CEP-style drift detector: flag (event_type, 1h window) pairs whose
+    window mean departs from the running baseline of all PRIOR windows of
+    that type by more than 3 sample standard deviations (baseline needs >=
+    12 prior windows). The streaming twin (streaming/drift.py) maintains
+    the same baseline incrementally in applyInPandasWithState.
+
+    100 TB shape: the heavy reduction (raw events -> per-window means) is a
+    fully parallel partial/final hash aggregate over the event stream; only
+    the tiny (type, window) series — #types x #hours rows, independent of
+    event volume — flows into the sequential per-type baseline window scan.
+    FP strategy: exact decimal(38,12) frame sums make b_s1/b_s2
+    bit-identical on both engines; the z/σ arithmetic is then one chain of
+    deterministic IEEE ops (sqrt is correctly rounded), and the final
+    rounds go through round6d to dodge the double-ROUND tie split."""
+    ev = _load(spark, sf_dir, "events")
+    wm = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), mean6("value").alias("mean_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_rows", "mean_value",
+        )
+    )
+    frame = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, -1)
+    md = F.col("mean_value").cast("decimal(38,12)")
+    b_n = F.count("mean_value").over(frame)
+    b_s1 = F.sum(md).over(frame).cast("double")
+    b_s2 = F.sum(md * md).over(frame).cast("double")
+    b_mean = b_s1 / b_n
+    b_var = (b_s2 - b_s1 * b_s1 / b_n) / (b_n - F.lit(1))
+    b_std = F.when(b_var > 0, F.sqrt(b_var))
+    z = (F.col("mean_value") - b_mean) / b_std
+    return (
+        wm.select(
+            "event_type", "window_start", "n_rows", "mean_value",
+            b_n.alias("n_baseline"),
+            round6d(b_mean).alias("baseline_mean"),
+            round6d(b_std).alias("baseline_std"),
+            round6d(z).alias("z_score"),
+            F.when(F.abs(z) > 3.0, F.lit(1)).otherwise(F.lit(0)).alias("is_drift"),
+        )
+        .where(F.col("n_baseline") >= _DRIFT_MIN_BASELINE)
+    )
+
+
+@register(
+    "source_drift_chi2",
+    """WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+    sw AS (SELECT source, word, count(*) AS c_sw FROM w WHERE word <> '' GROUP BY 1, 2),
+    st AS (SELECT source, sum(c_sw) AS t_s FROM sw GROUP BY 1),
+    gw AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+    gt AS (SELECT sum(c_sw) AS t_g FROM sw)
+    SELECT sw.source,
+      (ROUND(CAST(sum(CAST(
+          (CAST(c_sw AS DOUBLE)/CAST(t_s AS DOUBLE) - CAST(c_w AS DOUBLE)/CAST(t_g AS DOUBLE))
+        * (CAST(c_sw AS DOUBLE)/CAST(t_s AS DOUBLE) - CAST(c_w AS DOUBLE)/CAST(t_g AS DOUBLE))
+        / (CAST(c_w AS DOUBLE)/CAST(t_g AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE), 6) + 0.0) AS chi2,
+      CAST(count(*) AS BIGINT) AS n_words
+    FROM sw JOIN st USING (source) JOIN gw USING (word) CROSS JOIN gt
+    GROUP BY 1""",
+)
+def q_source_drift_chi2(spark, sf_dir):
+    """Per-source vocabulary drift vs the corpus-global word distribution:
+    chi-square divergence sum_w (p_w - q_w)^2 / q_w where p is the source's
+    word frequency and q the global one. Surfaces sources whose text
+    distribution departs from the mixture — the batch screen a curation
+    pipeline runs before re-weighting or quarantining a source.
+
+    100 TB shape: one tokenize+explode scan -> (source, word) partial/final
+    hash agg (the only big shuffle); per-source totals and the global word
+    table are derived from that aggregate and joined back BROADCAST (vocab
+    and #sources are bounded; document volume is not). Libm-free on
+    purpose: the per-word term uses only + - * / on count-derived doubles,
+    so both engines produce bit-identical terms (Spark's ln/log is Java
+    StrictMath, DuckDB's is libm — 1-ulp splits would poison a 6-decimal
+    hash gate), and the cross-word sum is order-independent through
+    decimal(38,12)."""
+    docs = _load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    stot = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    gw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    gtot = sw.agg(F.sum("c_sw").alias("t_g"))
+    p = F.col("c_sw").cast("double") / F.col("t_s").cast("double")
+    q = F.col("c_w").cast("double") / F.col("t_g").cast("double")
+    term = (p - q) * (p - q) / q
+    return (
+        sw.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gw), "word")
+        .crossJoin(F.broadcast(gtot))
+        .select("source", term.cast("decimal(38,12)").alias("term"))
+        .groupBy("source")
+        .agg(
+            round6(F.sum("term").cast("double")).alias("chi2"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+
+
+@register(
+    "source_mixing_weights",
+    """WITH c AS (
+      SELECT source, sum(len(string_split(text, ' '))) AS tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS ssum,
+                 sum(tokens) AS tot FROM c)
+    SELECT source, tokens,
+      (ROUND(CAST(tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0) AS raw_share,
+      (ROUND(sqrt(CAST(tokens AS DOUBLE)) / ssum, 6) + 0.0) AS alpha_weight
+    FROM c CROSS JOIN t""",
+)
+def q_source_mixing_weights(spark, sf_dir):
+    """Temperature-scaled source sampling weights for training-mixture
+    construction (the alpha-smoothing of multilingual LM data pipelines,
+    alpha = 0.5): w_s = sqrt(tokens_s) / sum_s' sqrt(tokens_s'), next to
+    each source's raw token share. One scan -> 20-row aggregate; sqrt is
+    IEEE-correctly-rounded so both engines agree bitwise, and the
+    denominator sums the per-source sqrt through decimal(38,12)."""
+    docs = _load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    tot = cnt.agg(
+        F.sum(F.sqrt(F.col("tokens").cast("double")).cast("decimal(38,12)")).alias("ssum"),
+        F.sum("tokens").alias("tot"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        round6(F.col("tokens").cast("double") / F.col("tot").cast("double")).alias("raw_share"),
+        round6(F.sqrt(F.col("tokens").cast("double")) / F.col("ssum").cast("double")).alias("alpha_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 26-27: rollup aggregates and as-of join
 # ---------------------------------------------------------------------------
