@@ -1174,9 +1174,7 @@ _DRIFT_Z = (
 )
 
 
-@register(
-    "drift_detector_events",
-    f"""WITH wm AS (
+_DRIFT_ORACLE_SQL = f"""WITH wm AS (
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
              event_type, count(*) AS n_rows,
              CAST({mean6_sql('value')} AS DOUBLE) AS mean_value
@@ -1198,8 +1196,10 @@ _DRIFT_Z = (
              THEN {_DRIFT_Z} END AS DECIMAL(38,12)), 6) + 0.0) AS DOUBLE) AS z_score,
       CASE WHEN {_DRIFT_VAR} > 0 AND abs({_DRIFT_Z}) > 3.0
            THEN 1 ELSE 0 END AS is_drift
-    FROM b WHERE n_baseline >= {_DRIFT_MIN_BASELINE}""",
-)
+    FROM b WHERE n_baseline >= {_DRIFT_MIN_BASELINE}"""
+
+
+@register("drift_detector_events", _DRIFT_ORACLE_SQL)
 def q_drift_detector_events(spark, sf_dir):
     """CEP-style drift detector: flag (event_type, 1h window) pairs whose
     window mean departs from the running baseline of all PRIOR windows of
@@ -1245,6 +1245,79 @@ def q_drift_detector_events(spark, sf_dir):
         )
         .where(F.col("n_baseline") >= _DRIFT_MIN_BASELINE)
     )
+
+
+@register("drift_detector_stream", _DRIFT_ORACLE_SQL)
+def q_drift_detector_stream(spark, sf_dir):
+    """The drift detector run as a REAL streaming query — and still
+    HASH-ORACLED: streaming/drift.py replicates every floating-point step
+    of the batch plan (decimal(38,12) casts/sums, the IEEE z chain, the
+    decimal-routed rounds) with exact ``decimal.Decimal`` arithmetic in
+    its applyInPandasWithState handler, so the drained stream is
+    bit-identical to ``drift_detector_events`` and shares its DuckDB
+    oracle verbatim. The events table is staged as a 3-file event-time-
+    ordered stream (mtime-ordered: see stage_ordered_stream_files) plus
+    two far-future sentinel rows that advance the watermark so every real
+    window finalizes (the second sentinel batch fires the EventTimeTimeout
+    flush for keys with no traffic of their own in the last batch)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.drift import (
+        run_stream_drift_detector, stage_ordered_stream_files,
+    )
+
+    ev = _load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="kuss_driftstream_")
+    try:
+        src = os.path.join(work, "src")
+        stage_ordered_stream_files(ev, src, 3, "ts")
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        for i, hrs in enumerate((6, 12)):
+            s = spark.createDataFrame(
+                [("__flush__", mx + datetime.timedelta(hours=hrs), 0.0)],
+                "event_type string, ts timestamp, value double",
+            )
+            staged = os.path.join(work, f"sent{i}")
+            s.coalesce(1).write.parquet(staged)
+            dst = os.path.join(src, f"zz_sentinel{i}.parquet")
+            shutil.copy(
+                glob.glob(os.path.join(staged, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (_time.time() + 10 + i, _time.time() + 10 + i))
+        stream = (
+            spark.readStream
+            .schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_drift_detector(
+            stream, os.path.join(work, "out"), os.path.join(work, "ckpt"),
+            watermark="2 hours", timeout_sec=240,
+        )
+        got = (
+            spark.read.parquet(os.path.join(work, "out"))
+            .where(
+                (F.col("key") != "__flush__")
+                & (F.col("n_baseline") >= _DRIFT_MIN_BASELINE)
+            )
+            .select(
+                F.col("key").alias("event_type"),
+                F.date_format(
+                    F.timestamp_millis("ws_ms"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("window_start"),
+                "n_rows", "mean_value", "n_baseline", "baseline_mean",
+                "baseline_std", "z_score", "is_drift",
+            )
+        )
+        # materialize before the tempdir vanishes
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
