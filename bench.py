@@ -127,6 +127,11 @@ HEADLINE = [
     "curation_funnel",
     "embedding_quantization_calibration",
     "length_bucket_histogram",
+    # r6 additions: drift/mixture screens join the headline (the
+    # streaming drift twin is exercised by the streaming section + gate)
+    "drift_detector_events",
+    "source_drift_chi2",
+    "source_mixing_weights",
 ]
 
 

@@ -1354,9 +1354,14 @@ def q_source_drift_chi2(spark, sf_dir):
     hash gate), and the cross-word sum is order-independent through
     decimal(38,12)."""
     docs = _load(spark, sf_dir, "documents")
+    # the explicit isNotNull filters make every derived branch's subtree
+    # IDENTICAL to the main one after predicate pushdown, so Catalyst
+    # replaces the 3 re-derivations (per-source totals, global word
+    # counts, corpus total) with ReusedExchange over the single
+    # (source, word) aggregate — ONE corpus scan+explode, not four
     words = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).where(F.col("word") != "")
+    ).where((F.col("word") != "") & F.col("source").isNotNull())
     sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
     stot = sw.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
     gw = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
