@@ -1297,7 +1297,7 @@ def q_drift_detector_stream(spark, sf_dir):
         )
         run_stream_drift_detector(
             stream, os.path.join(work, "out"), os.path.join(work, "ckpt"),
-            watermark="2 hours", timeout_sec=240,
+            watermark="2 hours", timeout_sec=360,
         )
         got = (
             spark.read.parquet(os.path.join(work, "out"))
