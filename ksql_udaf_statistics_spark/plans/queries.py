@@ -1182,9 +1182,13 @@ _DRIFT_ORACLE_SQL = f"""WITH wm AS (
     b AS (
       SELECT *,
         count(mean_value) OVER w AS n_baseline,
-        CAST(sum(CAST(mean_value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS b_s1,
-        CAST(sum(CAST(mean_value AS DECIMAL(38,12))
-                 * CAST(mean_value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS b_s2
+        -- decimal(15,6): the means carry <= 6 fractional digits, and the
+        -- PRODUCT of two (15,6) decimals stays exact at scale 12 on both
+        -- engines (Spark types (38,12)x(38,12) as decimal(38,6) -- it
+        -- ROUNDS every squared mean to 6dp, silently breaking exactness)
+        CAST(sum(CAST(mean_value AS DECIMAL(15,6))) OVER w AS DOUBLE) AS b_s1,
+        CAST(sum(CAST(mean_value AS DECIMAL(15,6))
+                 * CAST(mean_value AS DECIMAL(15,6))) OVER w AS DOUBLE) AS b_s2
       FROM wm
       WINDOW w AS (PARTITION BY event_type ORDER BY window_start
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
@@ -1226,7 +1230,11 @@ def q_drift_detector_events(spark, sf_dir):
     )
     frame = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
         Window.unboundedPreceding, -1)
-    md = F.col("mean_value").cast("decimal(38,12)")
+    # decimal(15,6), NOT (38,12): the product of two (38,12) decimals
+    # exceeds precision 38, so Spark types it decimal(38,6) and ROUNDS
+    # every squared mean to 6dp. (15,6) x (15,6) -> decimal(31,12), exact
+    # (the means carry <= 6 fractional digits by construction).
+    md = F.col("mean_value").cast("decimal(15,6)")
     b_n = F.count("mean_value").over(frame)
     b_s1 = F.sum(md).over(frame).cast("double")
     b_s2 = F.sum(md * md).over(frame).cast("double")
@@ -1251,7 +1259,7 @@ def q_drift_detector_events(spark, sf_dir):
 def q_drift_detector_stream(spark, sf_dir):
     """The drift detector run as a REAL streaming query — and still
     HASH-ORACLED: streaming/drift.py replicates every floating-point step
-    of the batch plan (decimal(38,12) casts/sums, the IEEE z chain, the
+    of the batch plan (exact decimal casts/sums, the IEEE z chain, the
     decimal-routed rounds) with exact ``decimal.Decimal`` arithmetic in
     its applyInPandasWithState handler, so the drained stream is
     bit-identical to ``drift_detector_events`` and shares its DuckDB
@@ -1302,7 +1310,9 @@ def q_drift_detector_stream(spark, sf_dir):
         got = (
             spark.read.parquet(os.path.join(work, "out"))
             .where(
-                (F.col("key") != "__flush__")
+                # null-safe: a NULL key must survive this filter the same
+                # way the batch query keeps the NULL event_type group
+                (~F.col("key").eqNullSafe("__flush__"))
                 & (F.col("n_baseline") >= _DRIFT_MIN_BASELINE)
             )
             .select(
@@ -1385,7 +1395,7 @@ def q_source_drift_chi2(spark, sf_dir):
 @register(
     "source_mixing_weights",
     """WITH c AS (
-      SELECT source, sum(len(string_split(text, ' '))) AS tokens
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
       FROM documents GROUP BY 1),
     t AS (SELECT CAST(sum(CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS ssum,
                  sum(tokens) AS tot FROM c)

@@ -184,7 +184,12 @@ def stream_drift_decisions(
                         acc = open_w.setdefault(w, [0, 0, Decimal(0)])
                         acc[0] += 1
                         v = val_arr[i]
-                        if v == v:  # skip NaN/null like Spark count(value)
+                        # pandas can't distinguish SQL NULL from NaN in a
+                        # float64 column, so both are skipped here. That
+                        # matches the batch twin for NULLs; actual NaN
+                        # *values* are outside the contract entirely — the
+                        # batch/oracle decimal cast (ANSI) rejects them.
+                        if v == v:
                             acc[1] += 1
                             acc[2] += _dec12(float(v))
 
@@ -206,9 +211,14 @@ def stream_drift_decisions(
                         if b_var > 0:
                             std_raw = math.sqrt(b_var)
                             b_std = _round6d(std_raw)
-                            z_raw = (mean_value - b_mean_raw) / std_raw
-                            z = _round6d(z_raw)
-                            is_drift = 1 if abs(z_raw) > z_threshold else 0
+                            if mean_value is not None:
+                                # an all-null window keeps z null and
+                                # is_drift 0, like the batch twin
+                                z_raw = (mean_value - b_mean_raw) / std_raw
+                                z = _round6d(z_raw)
+                                is_drift = (
+                                    1 if abs(z_raw) > z_threshold else 0
+                                )
                 out_rows.append(
                     (key[0], w, n_rows, mean_value, bn, b_mean, b_std, z,
                      is_drift)
@@ -244,8 +254,13 @@ def stream_drift_decisions(
             F.col(key_col).cast("string").alias("key"),
             F.col(ts_col).alias("ts"),
             F.col(value_col).cast("double").alias("value"),
-            (F.expr(f"unix_millis({ts_col}) div {win_ms}") * win_ms)
-            .alias("ws_ms"),
+            # floor semantics via pmod, NOT `div` (which truncates toward
+            # zero and would misbucket negative-epoch timestamps relative
+            # to F.window/date_trunc)
+            F.expr(
+                f"unix_millis({ts_col})"
+                f" - pmod(unix_millis({ts_col}), {win_ms})"
+            ).alias("ws_ms"),
         )
     )
     return pre.groupBy("key").applyInPandasWithState(
