@@ -1330,6 +1330,65 @@ def q_drift_detector_stream(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_TOKEN_TOPK_ORACLE_SQL = """WITH tok AS (
+         SELECT source,
+                unnest(list_transform(string_split(text, ' '),
+                                      w -> length(w))) AS tok
+         FROM documents),
+       counts AS (
+         SELECT source, CAST(tok AS BIGINT) AS tok, count(*) AS n
+         FROM tok GROUP BY 1, 2)
+       SELECT source, tok, n, CAST(rnk AS BIGINT) AS rnk FROM (
+         SELECT source, tok, n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, tok ASC) AS rnk
+         FROM counts)
+       WHERE rnk <= 5"""
+
+
+@register("token_topk_stream", _TOKEN_TOPK_ORACLE_SQL)
+def q_token_topk_stream(spark, sf_dir):
+    """Per-source token heavy hitters maintained as a CONTINUOUS streaming
+    aggregate (streaming/topk.py): update-mode counts MERGEd by
+    (source, tok) through the Iceberg-style snapshot sink, top-k read over
+    the materialized table. Counts are integers — order-independent, so
+    the drained stream hash-matches the batch ``token_topk_per_source``
+    query and shares its DuckDB oracle verbatim (the second hash-oracled
+    streaming gate entry, no decimal replication needed). The documents
+    table is replayed as a 2-file stream to exercise cross-batch count
+    accumulation in the aggregation state."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sink import MergeUpsertParquetSink
+    from ..streaming.topk import read_topk, run_stream_token_counts
+
+    docs = _load(spark, sf_dir, "documents").select("text", "source")
+    work = tempfile.mkdtemp(prefix="kuss_topkstream_")
+    try:
+        src = os.path.join(work, "src")
+        # no watermark/event-time in this query: counts are commutative,
+        # so file order is irrelevant — plain 2-file split suffices
+        docs.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema("text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = MergeUpsertParquetSink(
+            os.path.join(work, "counts"), key_cols=["source", "tok"]
+        )
+        run_stream_token_counts(
+            stream, sink, os.path.join(work, "ckpt"), timeout_sec=240
+        )
+        out = read_topk(spark, sink, k=5)
+        # materialize before the tempdir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "source_drift_chi2",
     """WITH w AS (
@@ -1530,23 +1589,7 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
-@register(
-    "token_topk_per_source",
-    """WITH tok AS (
-         SELECT source,
-                unnest(list_transform(string_split(text, ' '),
-                                      w -> length(w))) AS tok
-         FROM documents),
-       counts AS (
-         SELECT source, CAST(tok AS BIGINT) AS tok, count(*) AS n
-         FROM tok GROUP BY 1, 2)
-       SELECT source, tok, n, CAST(rnk AS BIGINT) AS rnk FROM (
-         SELECT source, tok, n,
-                row_number() OVER (PARTITION BY source
-                                   ORDER BY n DESC, tok ASC) AS rnk
-         FROM counts)
-       WHERE rnk <= 5""",
-)
+@register("token_topk_per_source", _TOKEN_TOPK_ORACLE_SQL)
 def q_token_topk_per_source(spark, sf_dir):
     """Per-source token heavy-hitters (top-5 most frequent token values):
     explode -> two-level count -> per-key top-k. The rank filter compiles

@@ -1,0 +1,105 @@
+"""Streaming per-source token heavy hitters: a continuously-maintained
+(source, token) count table with top-k reads — the streaming twin of the
+batch ``token_topk_per_source`` query, and the repo's second HASH-ORACLED
+streaming gate entry.
+
+Shape: a ksqlDB ``CREATE TABLE ... GROUP BY ... EMIT CHANGES`` aggregate
+(the reference's continuous-CTAS model, AllUdafIT.java:593-600) —
+unwindowed state that lives forever, every micro-batch emitting refreshed
+totals for the keys it touched. Spark's update-mode streaming aggregation
+emits exactly those refreshed totals, and
+:class:`~..streaming.sink.MergeUpsertParquetSink` MERGEs them by
+``(source, tok)`` so the stored table always holds one row per key
+(exactly-once under replay: a replayed batch rewrites the same snapshot).
+
+Unlike the moment statistics, the aggregate here is an INTEGER count —
+order-independent with no floating-point accumulation at all — so the
+drained stream's top-k equals the batch query bit for bit with no decimal
+gymnastics: hash parity against the batch DuckDB oracle is free.
+
+100 TB shape: the only shuffle is the (source, tok) hash partitioing of
+exploded tokens with map-side partial counts; aggregation state and the
+merged table are vocab-bounded (#sources x #distinct tokens), independent
+of stream volume — the standing-state contract of every ksqlDB table.
+The top-k read ranks the materialized counts with a per-source window
+(WindowGroupLimit), never a global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sink import MergeUpsertParquetSink
+
+
+def stream_token_counts(stream_docs: DataFrame) -> DataFrame:
+    """Update-mode streaming aggregate of per-(source, token) counts.
+
+    ``stream_docs`` carries (text, source); tokens are the per-word
+    character lengths (the repo's SQL-matchable tokenization,
+    sources/tables.py::tokens_from_documents)."""
+    words = F.split(F.col("text"), " ")
+    toks = stream_docs.select(
+        "source",
+        F.explode(
+            F.transform(words, lambda w: F.length(w).cast("int"))
+        ).alias("tok"),
+    )
+    return (
+        toks.withColumn("tok", F.col("tok").cast("long"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run_stream_token_counts(
+    stream_docs: DataFrame,
+    sink: MergeUpsertParquetSink,
+    checkpoint: str,
+    available_now: bool = True,
+    timeout_sec: Optional[int] = 240,
+):
+    """Drive the count table: update-mode agg -> key-level MERGE sink."""
+    counts = stream_token_counts(stream_docs)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, batch_id)
+
+    writer = (
+        counts.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now and timeout_sec is not None:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"token-count stream did not drain within {timeout_sec}s"
+            )
+    return q
+
+
+def topk_tokens(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Per-source top-k by (n DESC, tok ASC) — the batch query's exact
+    ranking, WindowGroupLimit-friendly."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("source", "tok", "n", "rnk")
+    )
+
+
+def read_topk(
+    spark: SparkSession, sink: MergeUpsertParquetSink, k: int = 5
+) -> DataFrame:
+    return topk_tokens(sink.read_current(spark), k)
