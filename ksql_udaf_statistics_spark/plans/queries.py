@@ -1389,6 +1389,60 @@ def q_token_topk_stream(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+_LENGTH_BUCKET_ORACLE_SQL = """WITH tok AS (
+         SELECT source, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       b AS (
+         SELECT source, n_tok,
+                CAST(pow(2, length(bin(n_tok)) - 1) AS BIGINT) AS bucket_lo
+         FROM tok)
+       SELECT source, bucket_lo,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(bucket_lo * 2 - 1 - n_tok) AS BIGINT) AS padding_waste
+       FROM b GROUP BY source, bucket_lo"""
+
+
+@register("length_bucket_stream", _LENGTH_BUCKET_ORACLE_SQL)
+def q_length_bucket_stream(spark, sf_dir):
+    """The length-bucket histogram as a CONTINUOUS streaming aggregate
+    (streaming/topk.py::run_stream_length_buckets): update-mode integer
+    counts/sums MERGEd by (source, bucket_lo) — the third hash-oracled
+    streaming gate entry, sharing the batch ``length_bucket_histogram``
+    oracle verbatim (integer aggregates are order-independent, so drained
+    == batch with no FP replication). Demonstrates the pattern is generic:
+    any count/integer-sum EMIT CHANGES table gets free hash parity."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sink import MergeUpsertParquetSink
+    from ..streaming.topk import run_stream_length_buckets
+
+    docs = _load(spark, sf_dir, "documents").select("text", "source")
+    work = tempfile.mkdtemp(prefix="kuss_lenbstream_")
+    try:
+        src = os.path.join(work, "src")
+        docs.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema("text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = MergeUpsertParquetSink(
+            os.path.join(work, "hist"), key_cols=["source", "bucket_lo"]
+        )
+        run_stream_length_buckets(
+            stream, sink, os.path.join(work, "ckpt"), timeout_sec=240
+        )
+        out = sink.read_current(spark).select(
+            "source", "bucket_lo", "n_docs", "total_tokens", "padding_waste"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "source_drift_chi2",
     """WITH w AS (
@@ -1825,21 +1879,7 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
-@register(
-    "length_bucket_histogram",
-    """WITH tok AS (
-         SELECT source, len(string_split(text, ' ')) AS n_tok
-         FROM documents),
-       b AS (
-         SELECT source, n_tok,
-                CAST(pow(2, length(bin(n_tok)) - 1) AS BIGINT) AS bucket_lo
-         FROM tok)
-       SELECT source, bucket_lo,
-              count(*) AS n_docs,
-              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-              CAST(sum(bucket_lo * 2 - 1 - n_tok) AS BIGINT) AS padding_waste
-       FROM b GROUP BY source, bucket_lo""",
-)
+@register("length_bucket_histogram", _LENGTH_BUCKET_ORACLE_SQL)
 def q_length_bucket_histogram(spark, sf_dir):
     """Power-of-two length bucketing per source (r5): the batching-by-
     length layout (the padded-batch alternative to sequence packing),

@@ -1,7 +1,16 @@
-"""Streaming per-source token heavy hitters: a continuously-maintained
-(source, token) count table with top-k reads — the streaming twin of the
-batch ``token_topk_per_source`` query, and the repo's second HASH-ORACLED
-streaming gate entry.
+"""Continuous aggregate tables (ksqlDB ``CREATE TABLE ... GROUP BY ...
+EMIT CHANGES``): update-mode streaming aggregates MERGEd by key into the
+Iceberg-style snapshot sink. Two operators ride the generic runner:
+
+- per-source token heavy hitters (streaming twin of the batch
+  ``token_topk_per_source`` query) — the repo's second HASH-ORACLED
+  streaming gate entry;
+- the power-of-two length-bucket histogram (streaming twin of
+  ``length_bucket_histogram``) — the third.
+
+Both aggregates are pure integer counts/sums, so the drained table equals
+the batch query with no floating-point replication at all: the pattern
+generalizes to any count/integer-sum EMIT CHANGES aggregate.
 
 Shape: a ksqlDB ``CREATE TABLE ... GROUP BY ... EMIT CHANGES`` aggregate
 (the reference's continuous-CTAS model, AllUdafIT.java:593-600) —
@@ -56,21 +65,23 @@ def stream_token_counts(stream_docs: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_token_counts(
-    stream_docs: DataFrame,
+def run_continuous_aggregate(
+    agg: DataFrame,
     sink: MergeUpsertParquetSink,
     checkpoint: str,
     available_now: bool = True,
     timeout_sec: Optional[int] = 240,
 ):
-    """Drive the count table: update-mode agg -> key-level MERGE sink."""
-    counts = stream_token_counts(stream_docs)
+    """Drive any update-mode streaming aggregate into the key-level MERGE
+    sink — the generic CREATE TABLE ... EMIT CHANGES runner. The
+    aggregate's grouping keys must equal the sink's ``key_cols`` so every
+    refreshed total replaces its prior row."""
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sink(batch_df, batch_id)
 
     writer = (
-        counts.writeStream.foreachBatch(merge)
+        agg.writeStream.foreachBatch(merge)
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
     )
@@ -81,9 +92,58 @@ def run_stream_token_counts(
         if not q.awaitTermination(timeout_sec):
             q.stop()
             raise RuntimeError(
-                f"token-count stream did not drain within {timeout_sec}s"
+                f"continuous aggregate did not drain within {timeout_sec}s"
             )
     return q
+
+
+def run_stream_token_counts(
+    stream_docs: DataFrame,
+    sink: MergeUpsertParquetSink,
+    checkpoint: str,
+    available_now: bool = True,
+    timeout_sec: Optional[int] = 240,
+):
+    """Drive the count table: update-mode agg -> key-level MERGE sink."""
+    return run_continuous_aggregate(
+        stream_token_counts(stream_docs), sink, checkpoint,
+        available_now, timeout_sec,
+    )
+
+
+def stream_length_buckets(stream_docs: DataFrame) -> DataFrame:
+    """Update-mode streaming aggregate of the power-of-two length-bucket
+    histogram (the batch ``length_bucket_histogram`` semantics: docs in
+    [bucket_lo, 2*bucket_lo) padded to 2*bucket_lo - 1 tokens). Every
+    aggregate is an integer count/sum — order-independent, so the drained
+    table equals the batch query exactly."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.pow(2, F.length(F.bin(n_tok)) - 1).cast("long")
+    return (
+        stream_docs.select(
+            "source", n_tok.alias("n_tok"), bucket.alias("bucket_lo")
+        )
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_lo") * 2 - 1 - F.col("n_tok")).cast("long")
+            .alias("padding_waste"),
+        )
+    )
+
+
+def run_stream_length_buckets(
+    stream_docs: DataFrame,
+    sink: MergeUpsertParquetSink,
+    checkpoint: str,
+    available_now: bool = True,
+    timeout_sec: Optional[int] = 240,
+):
+    return run_continuous_aggregate(
+        stream_length_buckets(stream_docs), sink, checkpoint,
+        available_now, timeout_sec,
+    )
 
 
 def topk_tokens(counts: DataFrame, k: int = 5) -> DataFrame:

@@ -67,6 +67,37 @@ def test_counts_accumulate_across_batches(spark, tmp_dir):
     assert top[("src1", 2)] == (3, 1)
 
 
+def test_length_buckets_accumulate_across_batches(spark, tmp_dir):
+    from ksql_udaf_statistics_spark.streaming.topk import (
+        run_stream_length_buckets,
+    )
+
+    # "aa bb" (2 tokens -> bucket 2) in both batches; "a b c d e" (5 ->
+    # bucket 4) once: cross-batch totals must merge per (source, bucket)
+    b1 = [("aa bb", "src1"), ("a b c d e", "src1")]
+    b2 = [("cc dd", "src1")]
+    src = os.path.join(tmp_dir, "srclb")
+    _stage(spark, tmp_dir, src, [b1, b2])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = MergeUpsertParquetSink(
+        os.path.join(tmp_dir, "hist"), key_cols=["source", "bucket_lo"]
+    )
+    run_stream_length_buckets(stream, sink, os.path.join(tmp_dir, "ckptlb"))
+    rows = {
+        (r["source"], r["bucket_lo"]): (r["n_docs"], r["total_tokens"],
+                                        r["padding_waste"])
+        for r in sink.read_current(spark).collect()
+    }
+    # bucket 2 (len in [2,4), padded to 3): two docs of 2 tokens
+    assert rows[("src1", 2)] == (2, 4, 2)
+    # bucket 4 (len in [4,8), padded to 7): one doc of 5 tokens
+    assert rows[("src1", 4)] == (1, 5, 2)
+
+
 def test_checkpoint_resume_continues_totals(spark, tmp_dir):
     b1 = [("aa aa", "src1")]
     b2 = [("aa bbb", "src1")]
