@@ -1380,7 +1380,7 @@ def q_token_topk_stream(spark, sf_dir):
             os.path.join(work, "counts"), key_cols=["source", "tok"]
         )
         run_stream_token_counts(
-            stream, sink, os.path.join(work, "ckpt"), timeout_sec=240
+            stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
         )
         out = read_topk(spark, sink, k=5)
         # materialize before the tempdir vanishes
@@ -1433,7 +1433,7 @@ def q_length_bucket_stream(spark, sf_dir):
             os.path.join(work, "hist"), key_cols=["source", "bucket_lo"]
         )
         run_stream_length_buckets(
-            stream, sink, os.path.join(work, "ckpt"), timeout_sec=240
+            stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
         )
         out = sink.read_current(spark).select(
             "source", "bucket_lo", "n_docs", "total_tokens", "padding_waste"
@@ -1649,20 +1649,13 @@ def q_token_topk_per_source(spark, sf_dir):
     explode -> two-level count -> per-key top-k. The rank filter compiles
     to WindowGroupLimit, so each shuffle partition keeps only its top-k
     candidates before the final sort — the 100 TB-safe heavy-hitter shape
-    (never a global sort of the full frequency table)."""
-    docs = tokens_from_documents(_load(spark, sf_dir, "documents"))
-    counts = (
-        docs.select("source", F.explode("tokens").alias("tok"))
-        .withColumn("tok", F.col("tok").cast("long"))
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
-    return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
-        .select("source", "tok", "n", "rnk")
-    )
+    (never a global sort of the full frequency table). The plan is the
+    SAME builder the streaming twin ``token_topk_stream`` drains through
+    (streaming/topk.py) — one definition, structural hash parity."""
+    from ..streaming.topk import token_counts_agg, topk_tokens
+
+    docs = _load(spark, sf_dir, "documents").select("text", "source")
+    return topk_tokens(token_counts_agg(docs), k=5)
 
 
 @register(
@@ -1890,20 +1883,13 @@ def q_length_bucket_histogram(spark, sf_dir):
     waste by 1 token/doc). Bucket boundaries are computed with INTEGER
     bit-length arithmetic (length(bin(n)) on both engines), never
     floor(log2(n)) — libm rounding at exact powers of two differs across
-    engines."""
-    docs = _load(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.col("text"), " "))
-    bucket = F.pow(2, F.length(F.bin(n_tok)) - 1).cast("long")
-    return (
-        docs.select("source", n_tok.alias("n_tok"), bucket.alias("bucket_lo"))
-        .groupBy("source", "bucket_lo")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("total_tokens"),
-            F.sum(F.col("bucket_lo") * 2 - 1 - F.col("n_tok")).cast("long")
-            .alias("padding_waste"),
-        )
-    )
+    engines. The plan is the SAME builder the streaming twin
+    ``length_bucket_stream`` drains through (streaming/topk.py) — one
+    definition, structural hash parity."""
+    from ..streaming.topk import length_buckets_agg
+
+    docs = _load(spark, sf_dir, "documents").select("text", "source")
+    return length_buckets_agg(docs)
 
 
 @register(

@@ -58,6 +58,7 @@ from pyspark.sql.types import (
 )
 
 from .neardup import duration_to_ms
+from .sink import drain_available_now
 
 _Q12 = Decimal("1e-12")
 _Q6 = Decimal("1e-6")
@@ -280,7 +281,7 @@ def run_stream_drift_detector(
     watermark: str = "2 hours",
     z_threshold: float = 3.0,
     available_now: bool = True,
-    timeout_sec: Optional[int] = 240,
+    timeout_sec: Optional[int] = 360,
 ):
     """Drive the drift stream into an append parquet sink (each finalized
     window is emitted exactly once, so plain append IS exactly-once here;
@@ -298,10 +299,6 @@ def run_stream_drift_detector(
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
-    if available_now and timeout_sec is not None:
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise RuntimeError(
-                f"drift stream did not drain within {timeout_sec}s"
-            )
+    if available_now:
+        drain_available_now(q, timeout_sec, "drift stream")
     return q

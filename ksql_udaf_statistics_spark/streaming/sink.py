@@ -329,3 +329,16 @@ def run_streaming_stats(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def drain_available_now(query, timeout_sec: Optional[int], what: str):
+    """Block until an ``availableNow`` query finishes draining, stopping
+    it and raising if ``timeout_sec`` elapses first. The one shared
+    timeout policy for every bounded streaming runner (drift, continuous
+    aggregates, gates) — keep drain-timeout tuning here, not in copies.
+    """
+    if timeout_sec is not None:
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise RuntimeError(f"{what} did not drain within {timeout_sec}s")
+    return query

@@ -12,6 +12,12 @@ Both aggregates are pure integer counts/sums, so the drained table equals
 the batch query with no floating-point replication at all: the pattern
 generalizes to any count/integer-sum EMIT CHANGES aggregate.
 
+The plan builders (:func:`token_counts_agg`, :func:`length_buckets_agg`,
+:func:`topk_tokens`) are engine-agnostic Column algebra — the BATCH gate
+queries ``token_topk_per_source`` and ``length_bucket_histogram`` call the
+very same functions, so stream/batch hash parity is structural (one plan
+definition), not a maintained-in-two-places invariant.
+
 Shape: a ksqlDB ``CREATE TABLE ... GROUP BY ... EMIT CHANGES`` aggregate
 (the reference's continuous-CTAS model, AllUdafIT.java:593-600) —
 unwindowed state that lives forever, every micro-batch emitting refreshed
@@ -42,17 +48,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .sink import MergeUpsertParquetSink
+from .sink import MergeUpsertParquetSink, drain_available_now, run_streaming_stats
 
 
-def stream_token_counts(stream_docs: DataFrame) -> DataFrame:
-    """Update-mode streaming aggregate of per-(source, token) counts.
-
-    ``stream_docs`` carries (text, source); tokens are the per-word
-    character lengths (the repo's SQL-matchable tokenization,
+def token_counts_agg(docs: DataFrame) -> DataFrame:
+    """Per-(source, token) counts over (text, source) rows — ONE plan
+    definition shared by the batch ``token_topk_per_source`` query and the
+    update-mode streaming twin. Tokens are the per-word character lengths
+    (the repo's SQL-matchable tokenization,
     sources/tables.py::tokens_from_documents)."""
     words = F.split(F.col("text"), " ")
-    toks = stream_docs.select(
+    toks = docs.select(
         "source",
         F.explode(
             F.transform(words, lambda w: F.length(w).cast("int"))
@@ -70,30 +76,20 @@ def run_continuous_aggregate(
     sink: MergeUpsertParquetSink,
     checkpoint: str,
     available_now: bool = True,
-    timeout_sec: Optional[int] = 240,
+    timeout_sec: Optional[int] = 360,
 ):
     """Drive any update-mode streaming aggregate into the key-level MERGE
-    sink — the generic CREATE TABLE ... EMIT CHANGES runner. The
-    aggregate's grouping keys must equal the sink's ``key_cols`` so every
-    refreshed total replaces its prior row."""
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sink(batch_df, batch_id)
-
-    writer = (
-        agg.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
+    sink — the generic CREATE TABLE ... EMIT CHANGES runner, delegating to
+    the one writeStream wiring in sink.py. The aggregate's grouping keys
+    must equal the sink's ``key_cols`` so every refreshed total replaces
+    its prior row."""
+    q = run_streaming_stats(
+        agg, sink, checkpoint, lambda df: df,
+        output_mode="update", available_now=available_now,
+        query_name="continuous_aggregate",
     )
     if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now and timeout_sec is not None:
-        if not q.awaitTermination(timeout_sec):
-            q.stop()
-            raise RuntimeError(
-                f"continuous aggregate did not drain within {timeout_sec}s"
-            )
+        drain_available_now(q, timeout_sec, "continuous aggregate")
     return q
 
 
@@ -102,25 +98,28 @@ def run_stream_token_counts(
     sink: MergeUpsertParquetSink,
     checkpoint: str,
     available_now: bool = True,
-    timeout_sec: Optional[int] = 240,
+    timeout_sec: Optional[int] = 360,
 ):
     """Drive the count table: update-mode agg -> key-level MERGE sink."""
     return run_continuous_aggregate(
-        stream_token_counts(stream_docs), sink, checkpoint,
+        token_counts_agg(stream_docs), sink, checkpoint,
         available_now, timeout_sec,
     )
 
 
-def stream_length_buckets(stream_docs: DataFrame) -> DataFrame:
-    """Update-mode streaming aggregate of the power-of-two length-bucket
-    histogram (the batch ``length_bucket_histogram`` semantics: docs in
-    [bucket_lo, 2*bucket_lo) padded to 2*bucket_lo - 1 tokens). Every
-    aggregate is an integer count/sum — order-independent, so the drained
-    table equals the batch query exactly."""
+def length_buckets_agg(docs: DataFrame) -> DataFrame:
+    """Power-of-two length-bucket histogram over (text, source) rows —
+    ONE plan definition shared by the batch ``length_bucket_histogram``
+    query and the streaming twin. Docs in [bucket_lo, 2*bucket_lo) are
+    padded to 2*bucket_lo - 1 tokens (the inclusive bucket max). Bucket
+    boundaries use INTEGER bit-length arithmetic (length(bin(n)), exact
+    on both engines), never floor(log2(n)) — libm rounding at exact
+    powers of two differs across engines. Every aggregate is an integer
+    count/sum — order-independent, so drained stream == batch exactly."""
     n_tok = F.size(F.split(F.col("text"), " "))
     bucket = F.pow(2, F.length(F.bin(n_tok)) - 1).cast("long")
     return (
-        stream_docs.select(
+        docs.select(
             "source", n_tok.alias("n_tok"), bucket.alias("bucket_lo")
         )
         .groupBy("source", "bucket_lo")
@@ -138,10 +137,10 @@ def run_stream_length_buckets(
     sink: MergeUpsertParquetSink,
     checkpoint: str,
     available_now: bool = True,
-    timeout_sec: Optional[int] = 240,
+    timeout_sec: Optional[int] = 360,
 ):
     return run_continuous_aggregate(
-        stream_length_buckets(stream_docs), sink, checkpoint,
+        length_buckets_agg(stream_docs), sink, checkpoint,
         available_now, timeout_sec,
     )
 
