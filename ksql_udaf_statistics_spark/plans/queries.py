@@ -43,6 +43,29 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark, n: int = 8):
+    """Pin a small state/shuffle partitioning around a bounded streaming
+    gate run. The gate corpora are tiny (sf <= 0.01), and a stateful
+    drain at the session's batch-tuned partitioning (32 at the driver,
+    200 default) spends its wall almost entirely on empty-task and
+    state-store-commit overhead — the dominant drain-timeout risk when
+    the host is contended. Results are partition-count independent (hash
+    aggregation / keyed state); the session value is restored on exit.
+    Mirrors bench.py's STREAM_STATE_PARTITIONS discipline: state
+    partitioning is a property of the QUERY, pinned at first checkpoint,
+    not of the session's core count."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def round6(c) -> F.Column:
     # `+ 0.0` normalizes IEEE signed zero: ROUND of a tiny negative yields
     # -0.0, which is ==-equal to 0.0 but hashes differently at the driver's
@@ -742,9 +765,16 @@ def q_dedup_stream_minhash(spark, sf_dir):
         src = os.path.join(work, "src")
         # two files -> two micro-batches (maxFilesPerTrigger=1): the gate
         # exercises cross-batch bucket state, not just one batch.
-        # Range-partitioned on ts so file/processing order == event-time
-        # order == the batch twin's arrival order (deterministic output)
-        docs.repartitionByRange(2, F.col("ts")).write.parquet(src)
+        # Range-staged on ts with explicitly increasing mtimes so
+        # file/processing order == event-time order == the batch twin's
+        # arrival order. A bare repartitionByRange(...).write is NOT
+        # deterministic here: parallel write tasks land arbitrary mtimes
+        # and FileStreamSource delivers by mtime, so the later-range file
+        # could arrive first and flip which near-dup pair member claims
+        # each bucket (observed: kept-set wobble across identical runs).
+        from ..streaming.drift import stage_ordered_stream_files
+
+        stage_ordered_stream_files(docs, src, n_files=2, order_col="ts")
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -753,16 +783,15 @@ def q_dedup_stream_minhash(spark, sf_dir):
         sink = ExactlyOnceParquetSink(
             os.path.join(work, "kept"), key_cols=["doc_id"]
         )
-        q = run_stream_minhash_dedup(
-            stream, sink, os.path.join(work, "ckpt"),
-            watermark="24 hours", num_hashes=32, bands=16,
-        )
-        if not q.awaitTermination(240):
-            q.stop()
-            raise RuntimeError(
-                "streaming near-dup gate did not drain within 240s; "
-                "refusing to return a partial kept-set"
+        from ..streaming.sink import drain_available_now
+
+        with _stream_shuffle(spark):
+            q = run_stream_minhash_dedup(
+                stream, sink, os.path.join(work, "ckpt"),
+                watermark="24 hours", num_hashes=32, bands=16,
             )
+            # partial kept-set must never be returned: raise on timeout
+            drain_available_now(q, 360, "streaming near-dup gate")
         # materialize before the tempdir vanishes
         rows = sink.read_current(spark).select("doc_id").orderBy("doc_id")
         out = spark.createDataFrame(rows.collect(), rows.schema)
@@ -1303,10 +1332,12 @@ def q_drift_detector_stream(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        run_stream_drift_detector(
-            stream, os.path.join(work, "out"), os.path.join(work, "ckpt"),
-            watermark="2 hours", timeout_sec=360,
-        )
+        with _stream_shuffle(spark):
+            run_stream_drift_detector(
+                stream, os.path.join(work, "out"),
+                os.path.join(work, "ckpt"),
+                watermark="2 hours", timeout_sec=360,
+            )
         got = (
             spark.read.parquet(os.path.join(work, "out"))
             .where(
@@ -1379,9 +1410,10 @@ def q_token_topk_stream(spark, sf_dir):
         sink = MergeUpsertParquetSink(
             os.path.join(work, "counts"), key_cols=["source", "tok"]
         )
-        run_stream_token_counts(
-            stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
-        )
+        with _stream_shuffle(spark):
+            run_stream_token_counts(
+                stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
+            )
         out = read_topk(spark, sink, k=5)
         # materialize before the tempdir vanishes
         return spark.createDataFrame(out.collect(), out.schema)
@@ -1432,9 +1464,10 @@ def q_length_bucket_stream(spark, sf_dir):
         sink = MergeUpsertParquetSink(
             os.path.join(work, "hist"), key_cols=["source", "bucket_lo"]
         )
-        run_stream_length_buckets(
-            stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
-        )
+        with _stream_shuffle(spark):
+            run_stream_length_buckets(
+                stream, sink, os.path.join(work, "ckpt"), timeout_sec=360
+            )
         out = sink.read_current(spark).select(
             "source", "bucket_lo", "n_docs", "total_tokens", "padding_waste"
         )
@@ -2518,9 +2551,13 @@ def q_curation_stream_funnel(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="kuss_streamfunnel_")
     try:
         src = os.path.join(work, "src")
-        # range-partitioned on ts: file/processing order == event order ==
-        # the batch twin's arrival order (deterministic kept-set)
-        docs.repartitionByRange(2, F.col("ts")).write.parquet(src)
+        # range-staged on ts with increasing mtimes: file/processing
+        # order == event order == the batch twin's arrival order (a bare
+        # repartitionByRange write can deliver the later-range file first
+        # — see dedup_stream_minhash)
+        from ..streaming.drift import stage_ordered_stream_files
+
+        stage_ordered_stream_files(docs, src, n_files=2, order_col="ts")
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2532,16 +2569,15 @@ def q_curation_stream_funnel(spark, sf_dir):
         funnel_sink = ExactlyOnceParquetSink(
             os.path.join(work, "funnel"), key_cols=["source"]
         )
-        q = run_stream_curation_funnel(
-            stream, kept_sink, funnel_sink, os.path.join(work, "ckpt"),
-            watermark="24 hours",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "streaming curation funnel did not drain within 300s; "
-                "refusing to return a partial funnel table"
+        from ..streaming.sink import drain_available_now
+
+        with _stream_shuffle(spark):
+            q = run_stream_curation_funnel(
+                stream, kept_sink, funnel_sink, os.path.join(work, "ckpt"),
+                watermark="24 hours",
             )
+            # partial funnel table must never be returned: raise on timeout
+            drain_available_now(q, 360, "streaming curation funnel")
         rows = read_funnel_table(funnel_sink, spark).orderBy("source")
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
