@@ -688,11 +688,36 @@ class KsqlEngine:
             None,
         )
         if spec is None:
-            raise KsqlParseError(
-                f"unknown topic {topic!r} — SHOW TOPICS lists them"
+            # CTAS output topics are printable too (ksqlDB can PRINT any
+            # topic SHOW TOPICS lists, including table changelogs)
+            tname, tspec = next(
+                ((n, sp) for n, sp in self.tables.items()
+                 if not isinstance(sp, TableViewSpec)
+                 and str(sp.with_opts.get("kafka_topic", n)).lower()
+                 == topic),
+                (None, None),
             )
-        if spec.name in self.derived:
-            self.refresh_stream(spec.name)
+            if tspec is None:
+                raise KsqlParseError(
+                    f"unknown topic {topic!r} — SHOW TOPICS lists them"
+                )
+            self.refresh(tname)
+            df = self._read_table(tspec)
+            # a table topic is a changelog keyed by group — order by all
+            # columns for a deterministic console tail
+            df = df.orderBy(*df.columns)
+            if m.group(3):
+                df = df.limit(int(m.group(3)))
+            return [
+                r["v"]
+                for r in df.select(
+                    F.to_json(F.struct(*df.columns)).alias("v")
+                ).collect()
+            ]
+        # bring the stream fully up to date first: its own CSAS transform
+        # AND any INSERT INTO feeders (refreshing only the CSAS served a
+        # stale merged view when feeders had undrained rows)
+        self._refresh_upstreams(spec.name)
         df = self._stream_df(spec, streaming=False)
         if spec.ts_col in df.columns:
             df = df.orderBy(spec.ts_col)
@@ -792,16 +817,39 @@ class KsqlEngine:
                         f"cannot drop stream {name!r}: derived streams "
                         f"{sorted(visible)} read from it — drop them first"
                     )
+                tbl_readers = sorted(
+                    t for t, ts in self.tables.items()
+                    if getattr(ts, "source", None) == name
+                )
+                if tbl_readers:
+                    raise KsqlParseError(
+                        f"cannot drop stream {name!r}: tables "
+                        f"{tbl_readers} read from it — drop them first"
+                    )
                 for d in deps:
-                    for sp in self.streams.values():
-                        if d in sp.feeders:
-                            sp.feeders.remove(d)
                     dcsas = self.derived.pop(d, None)
-                    dspec = self.streams.pop(d, None)
-                    if dspec is not None:
-                        shutil.rmtree(dspec.path, ignore_errors=True)
+                    self.terminated.discard(f"csas_{d}")
                     if dcsas is not None:
                         shutil.rmtree(dcsas.checkpoint, ignore_errors=True)
+                    dspec = self.streams.get(d)
+                    if dspec is not None and os.path.isdir(dspec.path):
+                        # ksqlDB parity: rows the feeder already produced
+                        # into its target's topic PERSIST after the
+                        # feeder's source is dropped (they are physically
+                        # on the topic). Keep the materialized directory
+                        # registered as a data-only feeder — it just never
+                        # refreshes again (its source is gone; the derived
+                        # entry above is removed, and the refresh paths
+                        # skip feeders with no derived entry).
+                        continue
+                    # never materialized: nothing merged, remove entirely;
+                    # targets that lose a feeder change their source set,
+                    # so their downstream checkpoints must rebase
+                    self.streams.pop(d, None)
+                    for tname, sp in self.streams.items():
+                        if d in sp.feeders:
+                            sp.feeders.remove(d)
+                            self._rebase_downstream(tname)
             spec = self.streams.pop(name, None)
             csas = self.derived.pop(name, None)
             self.terminated.discard(f"csas_{name}")
@@ -815,6 +863,10 @@ class KsqlEngine:
             for f in list(spec.feeders):
                 fcsas = self.derived.pop(f, None)
                 fspec = self.streams.pop(f, None)
+                # a TERMINATEd marker must not survive to freeze a
+                # recreated same-named feeder (names are deterministic:
+                # _ins_<target>_<index>)
+                self.terminated.discard(f"csas_{f}")
                 if fspec is not None:
                     shutil.rmtree(fspec.path, ignore_errors=True)
                 if fcsas is not None:
@@ -971,10 +1023,19 @@ class KsqlEngine:
         os.makedirs(path, exist_ok=True)
         src_ts = self.streams[source].ts_col
         ts_col = src_ts if src_ts in proto.schema.names else None
+        # honor WITH (kafka_topic=...) on the CSAS so SHOW TOPICS / PRINT
+        # address the derived stream by its declared topic name
+        topic = None
+        if m.group(2):
+            tm = re.search(
+                r"kafka_topic\s*=\s*'([\w.-]+)'", m.group(2), re.IGNORECASE
+            )
+            if tm:
+                topic = tm.group(1).lower()
         self.derived[name] = spec
         self.streams[name] = StreamSpec(
             name, proto.schema, path, ts_col, fmt="parquet",
-            key_col=partition_by,
+            key_col=partition_by, topic=topic,
         )
 
     def _join_on_sides(self, left_alias: str, right_alias: str,
@@ -1075,7 +1136,10 @@ class KsqlEngine:
                     f"exists (dropped source)"
                 )
             for f in self.streams[up].feeders:
-                self.refresh_stream(f, chain)
+                # data-only feeders (source dropped after rows were
+                # merged) have no derived entry and never refresh
+                if f in self.derived:
+                    self.refresh_stream(f, chain)
         out = self.streams[name]
         df = self._csas_transform(spec, streaming=True)
         if spec.partition_by is not None:
@@ -1208,7 +1272,12 @@ class KsqlEngine:
                 nxt.extend(ssp.feeders)
             return any(_reaches(x, goal, seen) for x in nxt)
 
-        if _reaches(self.derived[hidden].source, tgt, set()):
+        # walk from the hidden feeder ITSELF so BOTH its CSAS source and
+        # its JOIN side are covered (starting from .source alone missed
+        # INSERT INTO a SELECT ... FROM b JOIN a WITHIN ... — the cycle
+        # through the join stream registered fine and then every refresh
+        # of the target tripped the backstop forever)
+        if _reaches(hidden, tgt, set()):
             bad = self.derived.pop(hidden)
             bad_spec = self.streams.pop(hidden)
             import shutil
@@ -1235,6 +1304,11 @@ class KsqlEngine:
                 f"readers group on it)"
             )
         tgt_spec.feeders.append(hidden)
+        # downstream checkpoints were pinned to the target's previous
+        # source set — rebase them so the next refresh recomputes with
+        # the new feeder unioned in instead of failing the source-count
+        # assertion
+        self._rebase_downstream(tgt)
 
     @staticmethod
     def _split_csv(s: str) -> list[str]:
@@ -1602,13 +1676,48 @@ class KsqlEngine:
             )
         return df
 
+    def _rebase_downstream(self, stream_name: str,
+                           _seen: Optional[set] = None) -> None:
+        """Reset the maintenance state of every CTAS/CSAS reading
+        ``stream_name``. Called when the stream's SOURCE SET changes (an
+        INSERT INTO feeder registered, or a never-materialized feeder
+        cascade-removed): Structured Streaming pins a checkpoint to its
+        exact source list and refuses to resume when the unioned feeder
+        count changes ("There are [N] sources in the checkpoint offsets
+        and now there are [M]"). Sources are replayable files, so a fresh
+        checkpoint + empty sink recomputes the identical table from
+        offset 0 — correctness by recomputation instead of resume.
+        TERMINATEd consumers keep their frozen state untouched."""
+        import shutil
+
+        seen = _seen if _seen is not None else set()
+        if stream_name in seen:
+            return
+        seen.add(stream_name)
+        for t, ts in self.tables.items():
+            if isinstance(ts, TableViewSpec):
+                continue  # read-time join: parents rebase themselves
+            if ts.source == stream_name and f"ctas_{t}" not in self.terminated:
+                shutil.rmtree(ts.checkpoint, ignore_errors=True)
+                shutil.rmtree(ts.sink.path, ignore_errors=True)
+        for d, dsp in self.derived.items():
+            if (dsp.source == stream_name
+                    or (dsp.join and dsp.join.get("stream") == stream_name)) \
+                    and f"csas_{d}" not in self.terminated:
+                shutil.rmtree(dsp.checkpoint, ignore_errors=True)
+                out = self.streams[d]
+                shutil.rmtree(out.path, ignore_errors=True)
+                os.makedirs(out.path, exist_ok=True)
+                self._rebase_downstream(d, seen)
+
     def _refresh_upstreams(self, name: str) -> None:
         """Bring a stream's inputs up to date: its own CSAS transform (if
         derived) and any INSERT INTO ... SELECT feeders."""
         if name in self.derived:
             self.refresh_stream(name)
         for f in self.streams[name].feeders:
-            self.refresh_stream(f)
+            if f in self.derived:  # data-only feeders never refresh
+                self.refresh_stream(f)
 
     def _build_agg(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         stream_spec = self.streams[spec.source]

@@ -38,7 +38,7 @@ per-doc verdict rows; the funnel table itself is O(#sources) rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import quality_score
@@ -72,12 +72,14 @@ def _committed_funnel_before(
     ]
     if not committed:
         return None
-    df = sink.read_all(spark).filter(F.col("batch_id").isin(committed))
-    w = Window.partitionBy("source").orderBy(F.col("batch_id").desc())
+    # every batch writes the FULL cumulative table (emit unions the base
+    # into its deltas before writing), so the latest committed batch
+    # strictly before batch_id IS the base — one partition read, no
+    # all-batches scan or per-source window
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "batch_id")
+        sink.read_all(spark)
+        .filter(F.col("batch_id") == max(committed))
+        .drop("batch_id")
     )
 
 

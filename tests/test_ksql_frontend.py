@@ -1013,15 +1013,31 @@ def test_drop_stream_with_dependents(engine):
         "INSERT INTO tgt_s (k, val) VALUES ('t', 1.0);"
         "INSERT INTO side_s (k, val) VALUES ('s', 2.0);"
         "INSERT INTO tgt_s SELECT k, val FROM side_s;"
-        "DROP STREAM side_s;"
         "CREATE TABLE tgt_tot AS SELECT k AS k, SUM(val) AS s "
         "FROM tgt_s GROUP BY k EMIT CHANGES;"
     )
+    # drain the feeder so side_s's row is physically merged into tgt_s
     rows = sorted((r["k"], r["s"]) for r in engine.execute("SELECT * FROM tgt_tot;"))
-    # side_s's already-merged row survives in tgt_s's topic data; the
-    # feeder itself is gone (no refresh KeyError, no _ins_ leftovers)
-    assert ("t", 1.0) in rows
+    assert rows == [("s", 2.0), ("t", 1.0)]
+    engine.execute("DROP STREAM side_s;")
+    # ksqlDB parity: rows the feeder already produced into the target's
+    # topic PERSIST after the feeder's source is dropped; the feeder
+    # becomes data-only (never refreshes, never listed, no KeyError)
+    engine.execute("INSERT INTO tgt_s (k, val) VALUES ('t', 3.0);")
+    rows = sorted((r["k"], r["s"]) for r in engine.execute("SELECT * FROM tgt_tot;"))
+    assert rows == [("s", 2.0), ("t", 4.0)]
     assert all(not s.startswith("_ins_") for s in engine.execute("SHOW STREAMS;"))
+    # a feeder that never materialized (no drain between the INSERT
+    # ... SELECT and the DROP) is removed entirely — nothing was merged
+    engine.execute(
+        "CREATE STREAM side2_s (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='side2_s', value_format='json');"
+        "INSERT INTO side2_s (k, val) VALUES ('z', 9.0);"
+        "INSERT INTO tgt_s SELECT k, val FROM side2_s;"
+        "DROP STREAM side2_s;"
+    )
+    rows = sorted((r["k"], r["s"]) for r in engine.execute("SELECT * FROM tgt_tot;"))
+    assert rows == [("s", 2.0), ("t", 4.0)]
 
 
 def test_terminate_show_topics_print(engine):
@@ -1067,3 +1083,80 @@ def test_terminate_show_topics_print(engine):
     # TERMINATE ALL empties SHOW QUERIES
     engine.execute("TERMINATE ALL;")
     assert engine.execute("SHOW QUERIES;") == []
+
+
+def test_dependency_hardening_r6(engine):
+    """r6 review fixes: (a) INSERT cycle through the hidden CSAS's JOIN
+    side is rejected at INSERT time; (b) DROP STREAM with a CTAS table
+    reader is refused by name, ksqlDB-parity; (c) a TERMINATEd-then-
+    dropped feeder's marker does not freeze a recreated same-named
+    feeder; (d) PRINT drains INSERT feeders before tailing; (e) PRINT
+    works on CTAS output topics SHOW TOPICS lists."""
+    # (a) cycle through the join side of the feeder's SELECT (the
+    # stream-stream interval join needs distinct column names per side)
+    engine.execute(
+        "CREATE STREAM ja (ka VARCHAR, vala DOUBLE, ta TIMESTAMP) "
+        "WITH (kafka_topic='ja', value_format='json', timestamp='ta');"
+        "CREATE STREAM jb (kb VARCHAR, valb DOUBLE, tb TIMESTAMP) "
+        "WITH (kafka_topic='jb', value_format='json', timestamp='tb');"
+    )
+    with pytest.raises(Exception, match="cycle"):
+        engine.execute(
+            "INSERT INTO ja SELECT jb.kb AS ka, jb.valb AS vala, "
+            "jb.tb AS ta FROM jb JOIN ja WITHIN 1 HOUR ON jb.kb = ja.ka;"
+        )
+    # the rejected INSERT left no hidden feeder or orphan registration
+    assert all(not s.startswith("_ins_")
+               for s in engine.execute("SHOW STREAMS;"))
+
+    # (b) a stream with a CTAS reader cannot be dropped
+    engine.execute(
+        "CREATE TABLE ja_tot AS SELECT ka AS ka, SUM(vala) AS s "
+        "FROM ja GROUP BY ka EMIT CHANGES;"
+    )
+    with pytest.raises(Exception, match="tables.*read from it"):
+        engine.execute("DROP STREAM ja;")
+    engine.execute("DROP TABLE ja_tot;")
+    engine.execute("DROP STREAM ja;")  # now fine
+
+    # (c) TERMINATE ALL marks hidden feeders; DROP of the target must
+    # clear those markers so a recreated feeder is not silently frozen
+    engine.execute(
+        "CREATE STREAM tz (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='tz', value_format='json');"
+        "CREATE STREAM sz (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='sz', value_format='json');"
+        "INSERT INTO sz (k, val) VALUES ('m', 5.0);"
+        "INSERT INTO tz SELECT k, val FROM sz;"
+        "TERMINATE ALL;"
+        "DROP STREAM tz;"
+        "CREATE STREAM tz (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='tz', value_format='json');"
+        "INSERT INTO tz SELECT k, val FROM sz;"
+        "CREATE TABLE tz_tot AS SELECT k AS k, SUM(val) AS s "
+        "FROM tz GROUP BY k EMIT CHANGES;"
+    )
+    rows = {r["k"]: r["s"] for r in engine.execute("SELECT * FROM tz_tot;")}
+    assert rows == {"m": 5.0}  # the recreated feeder drains
+
+    # (d) PRINT of a stream with an undrained feeder shows the merged view
+    engine.execute(
+        "CREATE STREAM pa (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='pa', value_format='json');"
+        "CREATE STREAM pb (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='pb', value_format='json');"
+        "INSERT INTO pa (k, val) VALUES ('p', 1.0);"
+        "INSERT INTO pb (k, val) VALUES ('q', 2.0);"
+        "INSERT INTO pa SELECT k, val FROM pb;"
+    )
+    recs = engine.execute("PRINT pa FROM BEGINNING;")
+    assert len(recs) == 2 and any('"k":"q"' in r for r in recs)
+
+    # (e) PRINT of a CTAS output topic (declared via WITH kafka_topic)
+    engine.execute(
+        "CREATE TABLE pa_tot WITH (KAFKA_TOPIC='pa_out') AS "
+        "SELECT k AS k, SUM(val) AS s FROM pa GROUP BY k EMIT CHANGES;"
+    )
+    assert "pa_out" in engine.execute("SHOW TOPICS;")
+    recs = engine.execute("PRINT 'pa_out';")
+    assert len(recs) == 2 and any('"k":"p"' in r for r in recs)
