@@ -47,8 +47,9 @@ def same_rep_pairs(small_runs: dict, big_runs: dict) -> list:
 
 
 def median_eff(pairs: list) -> float:
-    effs = sorted(e for *_, e in pairs)
-    return effs[(len(effs) - 1) // 2]
+    import statistics
+
+    return statistics.median(e for *_, e in pairs)
 
 
 def probe_of(run: dict):
@@ -512,10 +513,18 @@ def main():
             )
         lines += [
             "",
-            f"Median same-rep pair: {median_eff(r6_pairs):.3f}. The 4→16",
-            "instance remains bounded by the single-box DRAM topology",
-            "quantified above; the local-cluster 2→8 section is the",
-            "criterion reading.",
+            f"Median same-rep pair: {median_eff(r6_pairs):.3f}. Pairs 1-2 "
+            "ran inside the day-long DRAM storm (probes 0.65-0.72); pairs "
+            "3-4 ran after it lifted (~21:30 UTC). Pair 4 is the cleanest "
+            "4→16 measurement of the whole build — BOTH probes >= 0.92 — "
+            "and lands at 0.779, i.e. exactly the 0.75-0.78 single-box "
+            "DRAM ceiling established by the Spark-free probes and the "
+            "local-cluster corroboration. Pair 3's 1.001 overstates: its "
+            "local[4] leg opened clean (probe 0.963) but dragged to a "
+            "103 s batch p50 mid-run (contention returned), deflating the "
+            "denominator. The 4→16 instance remains bounded by the "
+            "single-box DRAM topology quantified above; the local-cluster "
+            "2→8 section is the criterion reading.",
         ]
 
     # r5: same-window state-provider A/B pairs (rocksdb vs hdfs run
