@@ -13,6 +13,7 @@ interleaving cancels slow drift.
 
 import json
 import os
+import statistics
 import sys
 from datetime import datetime, timezone
 
@@ -47,8 +48,6 @@ def same_rep_pairs(small_runs: dict, big_runs: dict) -> list:
 
 
 def median_eff(pairs: list) -> float:
-    import statistics
-
     return statistics.median(e for *_, e in pairs)
 
 
@@ -201,8 +200,8 @@ def main():
             " interleaved pair "
             + ", ".join(f"{e:.3f}" for _, _, _, e in _lc)
             + (lambda effs: (
-                f" — median pair {sorted(effs)[(len(effs) - 1) // 2]:.3f}"
-                f" ({'MET' if sorted(effs)[(len(effs) - 1) // 2] >= 0.8 else 'NOT MET'}"
+                f" — median pair {statistics.median(effs):.3f}"
+                f" ({'MET' if statistics.median(effs) >= 0.8 else 'NOT MET'}"
                 f"; {sum(1 for e in effs if e >= 0.8)} of {len(effs)}"
                 f" pairs >= 0.8)"))([e for *_, e in _lc])
             + ".**")
@@ -215,8 +214,8 @@ def main():
             " interleaved pair "
             + ", ".join(f"{e:.3f}" for _, _, _, e in _sr)
             + (lambda effs: (
-                f" — median pair {sorted(effs)[(len(effs) - 1) // 2]:.3f}"
-                f" ({'MET' if sorted(effs)[(len(effs) - 1) // 2] >= 0.8 else 'NOT MET'}"
+                f" — median pair {statistics.median(effs):.3f}"
+                f" ({'MET' if statistics.median(effs) >= 0.8 else 'NOT MET'}"
                 f"; {sum(1 for e in effs if e >= 0.8)} of {len(effs)}"
                 f" pairs >= 0.8). Supplementary best-of-"
                 f"{len(effs)} pair: {max(effs):.3f} — a capability"

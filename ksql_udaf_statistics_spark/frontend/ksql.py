@@ -832,7 +832,16 @@ class KsqlEngine:
                     if dcsas is not None:
                         shutil.rmtree(dcsas.checkpoint, ignore_errors=True)
                     dspec = self.streams.get(d)
-                    if dspec is not None and os.path.isdir(dspec.path):
+                    # materialized = the directory has CONTENT (part files
+                    # / _spark_metadata from a drain) — a bare isdir test
+                    # is always true because CSAS pre-creates the dir
+                    try:
+                        materialized = dspec is not None and any(
+                            os.scandir(dspec.path)
+                        )
+                    except FileNotFoundError:
+                        materialized = False
+                    if materialized:
                         # ksqlDB parity: rows the feeder already produced
                         # into its target's topic PERSIST after the
                         # feeder's source is dropped (they are physically
@@ -888,8 +897,15 @@ class KsqlEngine:
                 if "IF EXISTS" in stmt.upper():
                     return
                 raise KsqlParseError(f"unknown table {name!r}")
-            if delete_data and not isinstance(tspec, TableViewSpec):
-                # views have no materialization of their own to delete
+            if not isinstance(tspec, TableViewSpec):
+                # the sink materialization and checkpoint are ENGINE-
+                # MANAGED state (same rationale as the CSAS branch above):
+                # a re-created same-named table must start fresh, not
+                # resume a checkpoint whose recorded source count may no
+                # longer match (feeders added while this table was
+                # TERMINATEd were deliberately not rebased) and not serve
+                # stale keys from the old sink. Views have no
+                # materialization of their own to delete.
                 shutil.rmtree(tspec.sink.path, ignore_errors=True)
                 shutil.rmtree(tspec.checkpoint, ignore_errors=True)
 
@@ -1024,14 +1040,12 @@ class KsqlEngine:
         src_ts = self.streams[source].ts_col
         ts_col = src_ts if src_ts in proto.schema.names else None
         # honor WITH (kafka_topic=...) on the CSAS so SHOW TOPICS / PRINT
-        # address the derived stream by its declared topic name
+        # address the derived stream by its declared topic name (parsed by
+        # the same helper CREATE STREAM uses)
         topic = None
         if m.group(2):
-            tm = re.search(
-                r"kafka_topic\s*=\s*'([\w.-]+)'", m.group(2), re.IGNORECASE
-            )
-            if tm:
-                topic = tm.group(1).lower()
+            t = _parse_with(m.group(2)).get("kafka_topic")
+            topic = str(t).lower() if t is not None else None
         self.derived[name] = spec
         self.streams[name] = StreamSpec(
             name, proto.schema, path, ts_col, fmt="parquet",
@@ -1709,6 +1723,14 @@ class KsqlEngine:
                 shutil.rmtree(out.path, ignore_errors=True)
                 os.makedirs(out.path, exist_ok=True)
                 self._rebase_downstream(d, seen)
+        # a stream that CONSUMES stream_name as an INSERT feeder reads it
+        # through StreamSpec.feeders, not a derived source edge — when the
+        # feeder's output is wiped and recomputed (new file names), the
+        # target's readers would re-ingest the rewritten files on top of
+        # their old checkpoints and double-count, so rebase them too
+        for tname, sp in self.streams.items():
+            if stream_name in sp.feeders:
+                self._rebase_downstream(tname, seen)
 
     def _refresh_upstreams(self, name: str) -> None:
         """Bring a stream's inputs up to date: its own CSAS transform (if

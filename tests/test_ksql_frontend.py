@@ -1160,3 +1160,30 @@ def test_dependency_hardening_r6(engine):
     assert "pa_out" in engine.execute("SHOW TOPICS;")
     recs = engine.execute("PRINT 'pa_out';")
     assert len(recs) == 2 and any('"k":"p"' in r for r in recs)
+
+    # (f) rebasing a hidden feeder (because its SOURCE's source set
+    # changed) must also rebase the feeder's TARGET's readers: the
+    # feeder's output is wiped and recomputed under NEW file names, and a
+    # reader resuming its old checkpoint would re-ingest every rewritten
+    # row on top of its existing aggregation state (double-count)
+    engine.execute(
+        "CREATE STREAM fa (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='fa', value_format='json');"
+        "CREATE STREAM fb (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='fb', value_format='json');"
+        "CREATE STREAM fc (k VARCHAR, val DOUBLE) "
+        "WITH (kafka_topic='fc', value_format='json');"
+        "INSERT INTO fa (k, val) VALUES ('a', 1.0);"
+        "INSERT INTO fb (k, val) VALUES ('b', 2.0);"
+        "INSERT INTO fb SELECT k, val FROM fa;"
+        "CREATE TABLE fb_tot AS SELECT k AS k, SUM(val) AS s "
+        "FROM fb GROUP BY k EMIT CHANGES;"
+    )
+    rows = {r["k"]: r["s"] for r in engine.execute("SELECT * FROM fb_tot;")}
+    assert rows == {"a": 1.0, "b": 2.0}
+    engine.execute(
+        "INSERT INTO fc (k, val) VALUES ('c', 4.0);"
+        "INSERT INTO fa SELECT k, val FROM fc;"
+    )
+    rows = {r["k"]: r["s"] for r in engine.execute("SELECT * FROM fb_tot;")}
+    assert rows == {"a": 1.0, "b": 2.0, "c": 4.0}  # a stays 1.0: no double count
