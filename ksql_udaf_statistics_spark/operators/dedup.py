@@ -73,11 +73,27 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_shingles(text_col: str = "text", n: int = 3) -> F.Column:
     """Array of n-word shingles (distinct), as strings — the readable
-    form. Hot paths use :func:`word_shingle_hashes` (same set, cheaper)."""
+    form. Hot paths use :func:`word_shingle_hashes` (same set, cheaper).
+
+    Built with the rolling zip_with idiom (r7): every reference to the
+    split stays in row position, so the plan is O(len * n) per document.
+    The previous ``F.slice(w, i + 1, n)`` inside a per-element
+    ``F.transform`` lambda re-evaluated the whole split expression per
+    element — the O(len^2) HOF trap documented at
+    :func:`word_shingle_hashes`. Same output exactly: shingle
+    i is ``w[i] + ' ' + ... + w[i+n-1]`` in the same positional order
+    (``concat_ws`` skips the NULLs zip_with pads with, and the final
+    slice keeps ``max(size - n + 1, 1)`` entries, so short documents
+    keep their single truncated shingle as before).
+    """
     w = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    size = F.size(w)
+    rolling = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(size - k, F.lit(1)))
+        rolling = F.zip_with(rolling, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+        F.slice(rolling, 1, F.greatest(size - n + 1, F.lit(1)))
     )
 
 
@@ -132,33 +148,72 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    broadcast_index_max_rows: int = 20_000_000,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with shingle-set Jaccard >= threshold.
 
-    Blocking: pairs are generated by joining the inverted index to itself
-    on the shingle, so complexity is Σ_s freq(s)², not |docs|². Shingles
-    occurring more than ``max_shingle_freq`` times are dropped (stopword
-    shingles add candidates but can't push Jaccard over real thresholds —
-    standard web-scale trick; at sf-test scale nothing hits the cap).
+    Blocking: pairs are generated only for docs sharing a shingle, so
+    complexity is Σ_s freq(s)², not |docs|². Shingles occurring more than
+    ``max_shingle_freq`` times are dropped (stopword shingles add
+    candidates but can't push Jaccard over real thresholds — standard
+    web-scale trick; at sf-test scale nothing hits the cap).
+
+    Two execution paths, identical values (r7):
+
+    - **broadcast-index path** (inverted index <= ``broadcast_index_max_
+      rows`` rows and integral doc ids): the index is collected once
+      (Arrow), packed into flat numpy arrays (~16 bytes/row), broadcast,
+      and every partition counts its documents' intersections against it
+      with one vectorized sort per batch — NO pair rows ever shuffle.
+      The r6 plan shuffled the Σ freq² candidate-pair stream (127M rows
+      at the 50k-doc bench scale — 3.5 GB through one exchange) into a
+      114M-group hash aggregation; the pair-count decision needs only
+      (doc idx, doc idx) ints, the guide's decide-with-small-rows shape.
+      Intersection counts are exact ints and the jaccard division is the
+      same float64 op the Column path compiles to, so values are
+      bit-identical to the join path.
+    - **self-join fallback** (index too big for one executor's memory):
+      the classic inverted-index self-join + pair-count aggregation,
+      with both join inputs explicitly ``repartition(P, shingle)`` — the
+      join's map-output is small (|index| rows) while its OUTPUT is
+      Σ freq² rows, so AQE (sizing from map output) otherwise coalesces
+      the exploding join to ~2 partitions whose tasks build multi-GB
+      aggregation hash maps (measured: the whole stage serialized behind
+      one straggler at bench sf1.0).
     """
-    # the index carries 8-byte shingle hashes (word_shingle_hashes), not
-    # ~20-char strings: it is shuffled three times (document-frequency agg
-    # + both sides of the self-join), and the narrow key shrinks that
-    # traffic several-fold. Materialize it ONCE (localCheckpoint) instead
-    # of recomputing the shingling for each of those three consumers; at
-    # 100 TB the same role is played by persist(DISK_ONLY) or a staged
-    # write of the inverted index.
-    sh = shingle_table(documents, text_col, n).localCheckpoint(eager=False)
+    # one shingling pass, materialized once (localCheckpoint): both paths
+    # read it — the broadcast build collects it, the scoring pass / join
+    # fallback re-reads the materialized blocks. At 100 TB the same role
+    # is played by persist(DISK_ONLY) or a staged write of the index.
+    per_doc = (
+        ensure_parallelism(documents)
+        .select("doc_id", word_shingle_hashes(text_col, n).alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+    index_rows = per_doc.agg(F.sum(F.size("_sh"))).collect()[0][0] or 0
+    if id_type in ("tinyint", "smallint", "int", "bigint") and (
+        0 < index_rows <= broadcast_index_max_rows
+    ):
+        return _jaccard_pairs_broadcast_index(
+            per_doc, threshold, max_shingle_freq
+        )
+
+    # ---- self-join fallback (index beyond single-executor memory) ----
+    sh = per_doc.withColumn("n_shingles", F.size("_sh")).select(
+        "doc_id", "n_shingles", F.explode("_sh").alias("shingle")
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "shingle")
+    p = documents.sparkSession.sparkContext.defaultParallelism
     a = sh.select(
         F.col("shingle"),
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"),
-    )
+    ).repartition(p, "shingle")
     b = sh.select(
         F.col("shingle"),
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"),
-    )
+    ).repartition(p, "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -171,6 +226,111 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _jaccard_pairs_broadcast_index(
+    per_doc: DataFrame, threshold: float, max_shingle_freq: int
+) -> DataFrame:
+    """Broadcast-inverted-index execution of :func:`jaccard_pairs`.
+
+    ``per_doc`` is the materialized (doc_id, distinct-shingle-hash array)
+    table. The driver packs it into flat numpy arrays — unique shingle
+    hashes (sorted), per-shingle slices of a doc-index ("partner") array,
+    per-doc sizes — and broadcasts ~16 bytes per index row. Each task
+    then scores its documents: gather the partner slices of every
+    (uncapped) shingle, one vectorized sort+count per doc block, exact
+    intersection counts, the identical float64 jaccard division, emit
+    only pairs clearing the threshold. doc_a < doc_b holds once per pair
+    because a pair is emitted only from its lower-id endpoint.
+
+    Assumes doc_id is unique per row (the operator's contract — it is a
+    key); duplicate ids would merge pair counts differently than the
+    self-join path merges them.
+    """
+    import numpy as np
+
+    spark = per_doc.sparkSession
+    pdf = per_doc.toPandas()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sh_lists = [np.asarray(v, dtype=np.int64) for v in pdf["_sh"].to_numpy()[order]]
+    n_sh = np.array([len(v) for v in sh_lists], dtype=np.int64)
+    flat = np.concatenate(sh_lists) if sh_lists else np.array([], dtype=np.int64)
+    didx = np.repeat(np.arange(len(ids), dtype=np.int32), n_sh)
+    o2 = np.argsort(flat, kind="stable")
+    uniq_sh, starts, cnts = np.unique(
+        flat[o2], return_index=True, return_counts=True
+    )
+    bc = spark.sparkContext.broadcast(
+        (
+            uniq_sh,
+            starts.astype(np.int64),
+            cnts.astype(np.int64),
+            cnts <= max_shingle_freq,  # df cap: capped shingles don't count
+            didx[o2],  # partner doc indices, grouped by shingle
+            ids,
+            n_sh,
+        )
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        uniq, st, ct, keep, partners, all_ids, sizes = bc.value
+        if len(uniq) == 0:
+            return
+        block = 256  # docs per vectorized sort+count
+        for pdf_b in batches:
+            m = len(pdf_b)
+            if m == 0:
+                continue
+            row_ids = pdf_b["doc_id"].to_numpy(dtype=np.int64)
+            row_sh = pdf_b["_sh"].to_numpy()
+            own = np.searchsorted(all_ids, row_ids).astype(np.int64)
+            for b0 in range(0, m, block):
+                b1 = min(b0 + block, m)
+                lens = np.array(
+                    [len(row_sh[i]) for i in range(b0, b1)], dtype=np.int64
+                )
+                if lens.sum() == 0:
+                    continue
+                s_all = np.concatenate(
+                    [np.asarray(row_sh[i], dtype=np.int64) for i in range(b0, b1)]
+                )
+                d_all = np.repeat(own[b0:b1], lens)
+                pos = np.minimum(np.searchsorted(uniq, s_all), len(uniq) - 1)
+                valid = (uniq[pos] == s_all) & keep[pos]
+                L = ct[pos[valid]]
+                total = int(L.sum())
+                if total == 0:
+                    continue
+                ends = np.cumsum(L)
+                gather = np.arange(total, dtype=np.int64) + np.repeat(
+                    st[pos[valid]] - np.concatenate(([0], ends[:-1])), L
+                )
+                q = partners[gather].astype(np.int64)
+                d = np.repeat(d_all[valid], L)
+                key, c = np.unique(d * 4294967296 + q, return_counts=True)
+                d2 = key >> 32
+                q2 = key & 0xFFFFFFFF
+                pair = all_ids[q2] > all_ids[d2]  # once per pair, a < b
+                if not pair.any():
+                    continue
+                d2, q2, c = d2[pair], q2[pair], c[pair]
+                jac = c / (sizes[d2] + sizes[q2] - c)
+                hit = jac >= threshold
+                if not hit.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_a": all_ids[d2[hit]],
+                        "doc_b": all_ids[q2[hit]],
+                        "jaccard": jac[hit],
+                    }
+                )
+
+    return per_doc.mapInPandas(score, "doc_a long, doc_b long, jaccard double")
 
 
 # ---------------------------------------------------------------------------

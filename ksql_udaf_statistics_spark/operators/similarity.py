@@ -135,9 +135,17 @@ def cosine_filter_pairs(
                 continue
             A, B = _stack(pdf[a_col]), _stack(pdf[b_col])
             num = np.einsum("ij,ij->i", A, B)
-            den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
-            cos = num / den
-            keep = cos >= threshold
+            # zero-norm vectors: den == 0 -> cos is NaN, which fails the
+            # >= comparison and is DROPPED — the deliberate contract (a
+            # zero vector has no direction, so it is near-duplicate of
+            # nothing). errstate suppresses the 0/0 RuntimeWarning so the
+            # policy is silent rather than accidental (r6 ADVICE).
+            with np.errstate(invalid="ignore", divide="ignore"):
+                den = np.sqrt(
+                    np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+                )
+                cos = num / den
+                keep = cos >= threshold
             if not keep.any():
                 continue
             out = pdf.loc[keep, names].copy()
@@ -360,30 +368,99 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold, LSH-blocked
     (never a corpus×corpus cross join). Pairs are verified by exact
-    cosine, so precision is 1; recall depends on (planes, bands)."""
+    cosine, so precision is 1; recall depends on (planes, bands).
+
+    Plan shape (r7 rewrite): ONE shuffle of (band, bucket, id, vec) rows
+    into per-(band, bucket) groups, scored bucket-locally. The r6 plan
+    materialized every colliding id PAIR through a bucket self-join, a
+    pair-dedup exchange, and two vector re-attach joins — at coarse
+    bucket widths (rows-per-band small, e.g. 64/16 -> 4-bit buckets)
+    candidate pairs approach all-pairs and those exchanges shuffled
+    O(n^2) rows (measured 275 s at the 20k-vector bench scale, 34x the
+    sf0.1 time for 10x the data). Bucket-local scoring shuffles only the
+    n*bands signature rows and turns the pair work into dense BLAS:
+
+    - per group, a blocked upper-triangle gram-matrix matmul prefilters
+      at ``threshold - 1e-9`` (the margin is >> the ~1e-13 dgemm-vs-
+      einsum float64 summation-order delta and << any real data gap, so
+      no true pair is lost and no false pair admitted durably);
+    - survivors (a tiny set: output pairs only) are re-scored with the
+      IDENTICAL per-pair einsum kernel ``cosine_filter_pairs`` uses and
+      re-tested at the exact threshold, so emitted values are
+      bit-identical to the r6 path — duplicates of the same pair from
+      different bands carry identical cos_sim, making the final
+      ``dropDuplicates`` deterministic;
+    - zero-norm vectors produce NaN cosine and are dropped, the same
+      (now-documented) contract as ``cosine_filter_pairs``.
+
+    The final dedup exchange carries only emitted near-dup pairs (output-
+    sized, not candidate-sized). At 100 TB the same shape holds: one
+    shuffle of signature rows, bucket-local dense scoring, output-sized
+    dedup; bucket skew is bounded by the blocked matmul (constant-memory
+    row blocks) and by choosing planes/bands so buckets stay O(n/2^rows).
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    # candidate generation over ids only: the bucket self-join and the
-    # pair dedup shuffle (band, bucket, id) rows, not embedding payloads
     banded = banded_signatures(
         corpus, id_col, vec_col, dim, planes, bands, seed, "x",
-        include_vec=False,
+        include_vec=True,
     )
-    a = banded.select("band", "bucket", F.col("x_id").alias("doc_a"))
-    b = banded.select("band", "bucket", F.col("x_id").alias("doc_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "cos_sim": np.array([], dtype=np.float64),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["x_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # ids unique per bucket
+        ids = ids[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["x_vec"].to_numpy()[order]]
+        )
+        sq = np.einsum("ij,ij->i", M, M)
+        cand_a: list[np.ndarray] = []
+        cand_b: list[np.ndarray] = []
+        # row-blocked gram: S block is R x m float64, R sized to ~32 MB
+        R = max(1, 4_000_000 // max(m, 1))
+        for r0 in range(0, m - 1, R):
+            r1 = min(r0 + R, m - 1)
+            S = M[r0:r1] @ M.T
+            with np.errstate(invalid="ignore", divide="ignore"):
+                C = S / np.sqrt(sq[r0:r1, None] * sq[None, :])
+                ii, jj = np.nonzero(C >= threshold - 1e-9)
+            keep = jj > ii + r0  # strict upper triangle: doc_a < doc_b
+            cand_a.append(ii[keep] + r0)
+            cand_b.append(jj[keep])
+        ia = np.concatenate(cand_a) if cand_a else np.array([], dtype=np.int64)
+        if len(ia) == 0:
+            return empty
+        ib = np.concatenate(cand_b)
+        # exact re-score of the survivors with the cosine_filter_pairs
+        # kernel (same ops, same order -> bit-identical values)
+        A, B = M[ia], M[ib]
+        num = np.einsum("ij,ij->i", A, B)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den = np.sqrt(
+                np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            )
+            cos = num / den
+            keep = cos >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "cos_sim": cos[keep]}
+        )
+
+    scored = banded.groupBy("band", "bucket").applyInPandas(
+        score_bucket, "doc_a long, doc_b long, cos_sim double"
     )
-    # vectors re-attached at minimum row count (post-dedup); Catalyst /
-    # AQE broadcasts the corpus side when it is small enough
-    va = corpus.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    vb = corpus.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
-    return cosine_filter_pairs(
-        pairs.join(va, "doc_a").join(vb, "doc_b"), threshold
-    ).select("doc_a", "doc_b", "cos_sim")
+    return scored.dropDuplicates(["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "cos_sim"
+    )
 
 
 # ---------------------------------------------------------------------------
