@@ -401,10 +401,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    p = documents.sparkSession.sparkContext.defaultParallelism
     a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"),
-                      F.col("sig").alias("sig_a"))
+                      F.col("sig").alias("sig_a")).repartition(p, "band", "bucket")
     b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"),
-                      F.col("sig").alias("sig_b"))
+                      F.col("sig").alias("sig_b")).repartition(p, "band", "bucket")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -457,8 +459,18 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    # the bucket self-join's output is Σ_bucket freq^2 while its INPUT is
+    # |docs| * bands small rows — AQE sizes post-shuffle partitions from
+    # the input bytes and coalesces the exploding join onto ~1 task (the
+    # jaccard_pairs straggler pathology); repartition(P, band, bucket) is
+    # a REPARTITION_BY_NUM exchange AQE must keep, P cluster-derived
+    p = documents.sparkSession.sparkContext.defaultParallelism
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a")).repartition(
+        p, "band", "bucket"
+    )
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b")).repartition(
+        p, "band", "bucket"
+    )
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -593,10 +605,12 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    p = documents.sparkSession.sparkContext.defaultParallelism
     a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sim_a"))
+                      F.col("simhash").alias("sim_a")).repartition(p, "band", "chunk")
     b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sim_b"))
+                      F.col("simhash").alias("sim_b")).repartition(p, "band", "chunk")
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -662,8 +676,14 @@ def simhash_candidate_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "bc.band", "bc.chunk")
-    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"))
+    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    p = documents.sparkSession.sparkContext.defaultParallelism
+    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a")).repartition(
+        p, "band", "chunk"
+    )
+    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b")).repartition(
+        p, "band", "chunk"
+    )
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))

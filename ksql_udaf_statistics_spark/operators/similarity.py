@@ -271,14 +271,23 @@ def banded_signatures(
                 ),
             }
             if include_vec:
-                out[f"{role}_vec"] = [
-                    v for v in pdf[vec_col] for _ in range(bands)
-                ]
+                # np.repeat on the object array repeats references — no
+                # per-element Python loop (r7: the list comprehension here
+                # was a visible chunk of a single-task signature pass)
+                out[f"{role}_vec"] = np.repeat(pdf[vec_col].to_numpy(), bands)
             out["band"] = np.tile(np.arange(bands, dtype=np.int32), n)
             out["bucket"] = buckets.reshape(-1)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(sign_and_band, schema)
+    # a small parquet corpus arrives as one ~file-sized scan split and the
+    # whole Arrow signature pass would run on a single core (r7: measured
+    # 4 s of the 7 s LSH wall at bench sf1.0); at production scale the
+    # scan already has >= defaultParallelism splits and this is a no-op
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        sign_and_band, schema
+    )
 
 
 def lsh_topk(
@@ -486,13 +495,19 @@ def _assign_clusters(df: DataFrame, centroids, id_col: str, vec_col: str,
             order = np.argsort(-sims, axis=1)[:, :n_probe_eff]
             rows = {
                 id_col: np.repeat(pdf[id_col].to_numpy(), n_probe_eff),
-                vec_col: [v for v in pdf[vec_col] for _ in range(n_probe_eff)],
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), n_probe_eff),
                 "cluster_id": order.reshape(-1).astype("int32"),
             }
             yield pd.DataFrame(rows)
 
     schema = f"{id_col} long, {vec_col} array<float>, cluster_id int"
-    return df.select(id_col, vec_col).mapInPandas(batches, schema)
+    # spread the assignment pass over all cores even when the corpus scan
+    # is one small parquet split (no-op at production split counts)
+    from .dedup import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        batches, schema
+    )
 
 
 def _sampled_centroids(

@@ -1880,10 +1880,15 @@ def q_curation_funnel(spark, sf_dir):
     ).withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
     q_ok = T.quality_score(F.col("text")) >= 0.5
     passq = docs.filter(q_ok)
+    # materialized once (r7): this subtree (quality regexp scan + md5
+    # aggregation) otherwise recomputes for each of its two consumers —
+    # the near-dup branch (via jaccard's checkpoint) and the final flags
+    # join — one full document scan each
     keep_exact = (
         passq.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     uniq = passq.join(keep_exact, "doc_id", "semi")
     pairs = D.jaccard_pairs(uniq, n=3, threshold=0.5)
