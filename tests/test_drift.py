@@ -127,3 +127,56 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_dir):
     # no window emitted twice
     ws = [r[1] for r in got_rows]
     assert len(ws) == len(set(ws))
+
+
+def test_partial_prereduction_bounds_handler_input(spark):
+    """r7 optimization contract (VERDICT r6 #2): raw events never reach
+    the stateful operator. (a) The plan places the stateless MapInPandas
+    pre-reduction BELOW FlatMapGroupsInPandasWithState; (b) the reducer
+    emits exactly one partial per (key, window) per partition — with the
+    exact decimal sum the per-row accumulation produced — so handler
+    input is O(#keys x #windows x #partitions) per batch, not O(events).
+    """
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal
+
+    from ksql_udaf_statistics_spark.streaming.drift import (
+        _dec12, reduce_event_partials, stream_drift_decisions,
+    )
+
+    # (a) plan shape on a real streaming source
+    stream = (
+        spark.readStream.schema(READ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet("/root/testdata")  # never started; plan-only
+    )
+    plan = stream_drift_decisions(stream)._jdf.queryExecution().analyzed().toString()
+    i_state = plan.index("FlatMapGroupsInPandasWithState")
+    i_reduce = plan.index("reduce_event_partials")
+    assert i_reduce > i_state  # deeper in the tree = below the state op
+
+    # (b) 10k events, 2 keys x 3 windows -> 6 partial rows, exact sums
+    rng = np.random.default_rng(7)
+    n = 10_000
+    keys = np.where(rng.random(n) < 0.5, "a", "b")
+    ws = rng.integers(0, 3, n) * 3_600_000
+    vals = rng.normal(100.0, 15.0, n)
+    vals[::97] = np.nan  # NULL/NaN rows: counted in p_rows, not p_val
+    pdf = pd.DataFrame(
+        {
+            "key": keys,
+            "ws_ms": ws,
+            "value": vals,
+            "ts": pd.to_datetime(ws + 1800_000, unit="ms"),
+        }
+    )
+    out = pd.concat(list(reduce_event_partials(iter([pdf]))))
+    assert len(out) == 6  # one partial per (key, window), not 10k rows
+    assert int(out["p_rows"].sum()) == n
+    for _, r in out.iterrows():
+        seg = pdf[(pdf["key"] == r["key"]) & (pdf["ws_ms"] == r["ws_ms"])]["value"]
+        valid = seg[seg == seg]
+        assert int(r["p_val"]) == len(valid)
+        want = sum((_dec12(float(v)) for v in valid), Decimal(0))
+        assert Decimal(r["p_s1"]) == want
