@@ -205,15 +205,18 @@ def jaccard_pairs(
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(F.broadcast(freq.filter(F.col("df") <= max_shingle_freq)), "shingle")
+    # one shared exchange, renamed after (see minhash_lsh_pairs): the
+    # shingle-explode subtree executes once, the second side reuses it
     p = documents.sparkSession.sparkContext.defaultParallelism
-    a = sh.select(
+    base = sh.repartition(p, "shingle")
+    a = base.select(
         F.col("shingle"),
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"),
-    ).repartition(p, "shingle")
-    b = sh.select(
+    )
+    b = base.select(
         F.col("shingle"),
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"),
-    ).repartition(p, "shingle")
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -401,12 +404,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    # exploding self-join: pin the partitioning (see minhash_candidate_pairs).
+    # Both sides derive from ONE repartitioned plan and rename AFTER the
+    # exchange — two differently-projected repartitions are two distinct
+    # exchanges, so the whole signature subtree (shingle + num_hashes
+    # permutations) executed twice (r7: measured 2x the pass cost).
     p = documents.sparkSession.sparkContext.defaultParallelism
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"),
-                      F.col("sig").alias("sig_a")).repartition(p, "band", "bucket")
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"),
-                      F.col("sig").alias("sig_b")).repartition(p, "band", "bucket")
+    base = banded.repartition(p, "band", "bucket")
+    a = base.select("band", "bucket", F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    b = base.select("band", "bucket", F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -463,14 +471,13 @@ def minhash_candidate_pairs(
     # |docs| * bands small rows — AQE sizes post-shuffle partitions from
     # the input bytes and coalesces the exploding join onto ~1 task (the
     # jaccard_pairs straggler pathology); repartition(P, band, bucket) is
-    # a REPARTITION_BY_NUM exchange AQE must keep, P cluster-derived
+    # a REPARTITION_BY_NUM exchange AQE must keep, P cluster-derived.
+    # One shared exchange, renamed after (see minhash_lsh_pairs): the
+    # signature subtree executes once, the second side reuses the shuffle.
     p = documents.sparkSession.sparkContext.defaultParallelism
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a")).repartition(
-        p, "band", "bucket"
-    )
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b")).repartition(
-        p, "band", "bucket"
-    )
+    base = banded.repartition(p, "band", "bucket")
+    a = base.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = base.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -496,9 +503,27 @@ def exact_jaccard_rerank(
     corpus. Identical values to the inverted-index Jaccard
     (:func:`jaccard_pairs`) because both operate on the same distinct
     shingle-hash sets.
+
+    r7 cost shape: only documents that APPEAR in a candidate pair are
+    shingled. The candidate list is materialized once (it is read three
+    times: the id set and both attach joins — without the checkpoint each
+    consumer re-executes the whole blocking pass), the candidate doc-id
+    set prunes the corpus with a semi-join BEFORE the shingle expression
+    runs, and the pruned shingle table is materialized once so the two
+    attach joins read it instead of re-shingling. Previously the full
+    corpus was shingled twice (once per join side); verification cost is
+    now proportional to candidate volume, not corpus size.
     """
-    sh = ensure_parallelism(documents).select(
-        "doc_id", word_shingle_hashes(text_col, n).alias("_sh")
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        ensure_parallelism(documents.join(ids, "doc_id", "semi"))
+        .select("doc_id", word_shingle_hashes(text_col, n).alias("_sh"))
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
@@ -605,12 +630,15 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
-    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    # exploding self-join: pin the partitioning; one shared exchange,
+    # renamed after (see minhash_lsh_pairs) so the signature bit algebra
+    # executes once instead of once per side
     p = documents.sparkSession.sparkContext.defaultParallelism
-    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sim_a")).repartition(p, "band", "chunk")
-    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sim_b")).repartition(p, "band", "chunk")
+    base = banded.repartition(p, "band", "chunk")
+    a = base.select("band", "chunk", F.col("doc_id").alias("doc_a"),
+                    F.col("simhash").alias("sim_a"))
+    b = base.select("band", "chunk", F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sim_b"))
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -676,14 +704,12 @@ def simhash_candidate_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "bc.band", "bc.chunk")
-    # exploding self-join: pin the partitioning (see minhash_candidate_pairs)
+    # exploding self-join: pin the partitioning; one shared exchange,
+    # renamed after (see minhash_lsh_pairs)
     p = documents.sparkSession.sparkContext.defaultParallelism
-    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a")).repartition(
-        p, "band", "chunk"
-    )
-    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b")).repartition(
-        p, "band", "chunk"
-    )
+    base = banded.repartition(p, "band", "chunk")
+    a = base.select("band", "chunk", F.col("doc_id").alias("doc_a"))
+    b = base.select("band", "chunk", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -702,9 +728,48 @@ def simhash_pairs_verified(
     recall against exact all-pairs Jaccard >= 0.5 is 1.0 on the driver
     corpora at sf0.001 and sf0.01 — so the output EQUALS the all-pairs
     Jaccard result and a DuckDB oracle hash-verifies the whole path
-    (signature bit algebra, chunk banding, bucket join, re-rank)."""
-    cands = simhash_candidate_pairs(documents, text_col, bands)
-    return exact_jaccard_rerank(documents, cands, text_col, n, threshold)
+    (signature bit algebra, chunk banding, bucket join, re-rank).
+
+    r7 execution: the output set is, by definition, {pairs agreeing on
+    >=1 simhash chunk} ∩ {pairs with exact Jaccard >= threshold}. The old
+    plan enumerated the FIRST set (bucket self-join over 2^(64/bands)
+    chunk values — Σ freq² is Θ(n² / 2^chunk_bits): 92M candidate rows at
+    the 50k-doc bench scale, ~150 s wall) and exact-reranked them all.
+    The new plan computes the SECOND set first with :func:`jaccard_pairs`'
+    blocked inverted index (frequency cap disabled, so its exact counts
+    and float64 divide equal the rerank's bit-for-bit) and keeps only
+    pairs agreeing on >=1 chunk, attaching the two 64-bit signatures to
+    the small surviving pair list. Set-identical on every input by
+    commutativity of intersection; the chunk-agreement predicate is the
+    same bit algebra the banding join used as its key.
+    """
+    jp = jaccard_pairs(
+        documents, text_col, n, threshold, max_shingle_freq=(1 << 62)
+    ).localCheckpoint(eager=True)
+    sig = simhash_signatures(documents, text_col)
+    ids = (
+        jp.select(F.col("doc_a").alias("doc_id"))
+        .union(jp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig = sig.join(ids, "doc_id", "semi").localCheckpoint(eager=False)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sim_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sim_b"))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    agree = None
+    for bb in range(bands):
+        eq = (
+            F.shiftright("_sim_a", bb * width).bitwiseAND(F.lit(mask))
+            == F.shiftright("_sim_b", bb * width).bitwiseAND(F.lit(mask))
+        )
+        agree = eq if agree is None else (agree | eq)
+    return (
+        jp.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(agree)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -788,9 +853,26 @@ def connected_components(
             m = cluster_min.get(root)
             if m is None or node < m:
                 cluster_min[root] = node
-        rows = [(node, cluster_min[find(node)]) for node in parent]
+        # hand the result over as a pandas frame: createDataFrame(list)
+        # pickles row-by-row through the JVM (measured 1.6 s for 9k rows);
+        # the Arrow path is ~10x cheaper and type-exact for integral ids
+        import pandas as pd
+
+        nodes = list(parent)
+        labels_out = [cluster_min[find(node)] for node in nodes]
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            import numpy as np
+
+            pdf_out = pd.DataFrame(
+                {
+                    "doc_id": np.asarray(nodes, dtype=np.int64),
+                    "cluster_id": np.asarray(labels_out, dtype=np.int64),
+                }
+            )
+        else:
+            pdf_out = pd.DataFrame({"doc_id": nodes, "cluster_id": labels_out})
         return pairs.sparkSession.createDataFrame(
-            rows, f"doc_id {id_type}, cluster_id {id_type}"
+            pdf_out, f"doc_id {id_type}, cluster_id {id_type}"
         )
 
     # distributed path: symmetrize from the already-materialized edge list
