@@ -551,8 +551,13 @@ def train_ivf_centroids(
     ``n_probe == n_centroids`` results still equal brute force exactly,
     which is how ``ann_ivf_verified`` keeps the trained path under the
     exact DuckDB oracle."""
-    C = _sampled_centroids(corpus, n_centroids, id_col, vec_col, seed)
-    base = corpus.select(id_col, vec_col)
+    # materialize the narrowed corpus once (r7): every Lloyd round re-read
+    # and re-decoded the source parquet otherwise (n_iters + seed scans);
+    # localCheckpoint preserves the partitioning, so the per-partition
+    # double-summation order of the mean aggregation — and therefore every
+    # trained centroid — is bit-identical to the uncheckpointed plan
+    base = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    C = _sampled_centroids(base, n_centroids, id_col, vec_col, seed)
     for _ in range(max(n_iters, 0)):
         assigned = _assign_clusters(base, C, id_col, vec_col, 1, "train")
         means = (
@@ -607,11 +612,18 @@ def ivf_topk(
     qd = q_assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster_id"
     )
+    # score BEFORE deduplicating (r7): a (query, neighbor) pair can only
+    # arise once per probed cluster and the corpus side is assigned with
+    # n_probe=1, so duplicate pairs carry identical cos_sim — aggregating
+    # the scalar with max() after scoring equals dropDuplicates before it,
+    # while the dedup exchange now moves (id, id, double) rows instead of
+    # two 64-float vectors per row (~20x fewer shuffle bytes)
     cand = (
         c.join(F.broadcast(qd), "cluster_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_sim", cosine_arrow(F.col("q_vec"), F.col("c_vec")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
