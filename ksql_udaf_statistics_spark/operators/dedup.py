@@ -27,16 +27,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SHUFFLE_NODES = (
+    "Join", "Aggregate", "Repartition", "Sort", "Window", "Deduplicate",
+    "GlobalLimit",
+)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread per-document hashing across all cores when the source scan is
     under-partitioned (a small parquet file arrives as 1 partition and the
     whole shingle/signature pass runs on one core — 3x the job time at
     sf0.1). At production scale the scan already has >= defaultParallelism
     partitions and this is a no-op, so no extra shuffle is introduced.
+
+    The partition-count probe (``.rdd.getNumPartitions()``) is free ONLY on
+    narrow plans: under AQE, converting a plan with exchanges to an RDD
+    EXECUTES every upstream query stage (measured 2.7 s for a probe on a
+    20M-row join — the whole subtree then runs again in the real job). So
+    plans containing shuffle-inducing operators are returned unchanged:
+    their output is either shuffle-partitioned ``spark.sql.shuffle.
+    partitions``-wide already, or a broadcast-join output preserving its
+    scan's splits — wide at any real scale.
     """
     if df.isStreaming:
         # micro-batch partitioning is the source's concern (file splits /
         # Kafka partitions); .rdd is not even defined pre-start
+        return df
+    plan = str(df._jdf.queryExecution().analyzed())
+    if any(tok in plan for tok in _SHUFFLE_NODES):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -520,8 +538,14 @@ def exact_jaccard_rerank(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # candidate docs are small by construction (they fit the materialized
+    # pair list), so a plain repartition spreads the shingle work for
+    # pennies — ensure_parallelism's probe is not usable on a join output
+    # (see its docstring)
+    p = documents.sparkSession.sparkContext.defaultParallelism
     sh = (
-        ensure_parallelism(documents.join(ids, "doc_id", "semi"))
+        documents.join(ids, "doc_id", "semi")
+        .repartition(p)
         .select("doc_id", word_shingle_hashes(text_col, n).alias("_sh"))
         .localCheckpoint(eager=False)
     )

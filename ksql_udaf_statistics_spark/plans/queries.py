@@ -1879,7 +1879,12 @@ def q_curation_funnel(spark, sf_dir):
         "doc_id", F.col("doc_id").cast("long")
     ).withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
     q_ok = T.quality_score(F.col("text")) >= 0.5
-    passq = docs.filter(q_ok)
+    # spread BEFORE the dedup semi-join: ensure_parallelism is a free probe
+    # on this narrow scan, and the broadcast semi-join downstream preserves
+    # whatever partitioning the quality scan has — so the jaccard shingle
+    # pass over `uniq` inherits the spread (its own ensure_parallelism
+    # cannot probe a join output; see dedup.ensure_parallelism)
+    passq = D.ensure_parallelism(docs).filter(q_ok)
     # materialized once (r7): this subtree (quality regexp scan + md5
     # aggregation) otherwise recomputes for each of its two consumers —
     # the near-dup branch (via jaccard's checkpoint) and the final flags
