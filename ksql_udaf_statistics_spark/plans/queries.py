@@ -1884,7 +1884,8 @@ def q_curation_funnel(spark, sf_dir):
     # whatever partitioning the quality scan has — so the jaccard shingle
     # pass over `uniq` inherits the spread (its own ensure_parallelism
     # cannot probe a join output; see dedup.ensure_parallelism)
-    passq = D.ensure_parallelism(docs).filter(q_ok)
+    docs_spread = D.ensure_parallelism(docs)
+    passq = docs_spread.filter(q_ok)
     # materialized once (r7): this subtree (quality regexp scan + md5
     # aggregation) otherwise recomputes for each of its two consumers —
     # the near-dup branch (via jaccard's checkpoint) and the final flags
@@ -1895,7 +1896,12 @@ def q_curation_funnel(spark, sf_dir):
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    uniq = passq.join(keep_exact, "doc_id", "semi")
+    # semi-join from the RAW scan, not from passq: keep_exact's ids are
+    # min-id survivors of quality-passing md5 groups, so they all pass
+    # quality by construction — docs ⋉ keep_exact == passq ⋉ keep_exact
+    # row-for-row, and the regexp-heavy quality predicate no longer
+    # re-evaluates over the whole corpus just to be filtered by id
+    uniq = docs_spread.join(keep_exact, "doc_id", "semi")
     pairs = D.jaccard_pairs(uniq, n=3, threshold=0.5)
     comp = D.connected_components(pairs)
     removed = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
