@@ -398,30 +398,49 @@ def minhash_lsh_pairs(
     bands×rows = num_hashes; a pair collides if any band of the signature
     matches exactly — the classic S-curve. The bucket join shuffles on
     (band, band-hash), never comparing docs that share no bucket.
+
+    r7 cost shape: the bucket self-join and the pair dedup move BARE IDS
+    — the signature arrays previously rode the bucket exchange once per
+    band row (bands × 32 longs ≈ 8× the payload per doc, both join
+    sides). Candidates are now generated ids-only, deduplicated in a
+    hash aggregation over longs, materialized once, and the signatures
+    are re-derived for ONLY the documents that appear in a candidate
+    pair (semi-join prune, the exact_jaccard_rerank discipline) and
+    attached to the distinct pair list at its minimum row count. The
+    estimate is the same zip_with/size expression over the same
+    deterministic signatures, computed once per distinct pair — exact
+    integer count / num_hashes, so values are bit-identical to the
+    compute-then-dedup plan.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig_df = minhash_signatures(documents, text_col, n, num_hashes, seed)
+    # one signature pass total: the materialized table (32 longs/doc —
+    # the standard "write the signature table" step of any LSH pipeline)
+    # feeds both the banding and the post-dedup attach
+    sig_df = minhash_signatures(
+        documents, text_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
+
+    def band_structs():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("sig")[b * rows + r].cast("string")
+                              for r in range(rows)],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+
     banded = sig_df.select(
-        "doc_id", "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col("sig")[b * rows + r].cast("string")
-                                  for r in range(rows)],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+        "doc_id", F.explode(band_structs()).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     # exploding self-join: pin the partitioning (see minhash_candidate_pairs).
     # Both sides derive from ONE repartitioned plan and rename AFTER the
     # exchange — two differently-projected repartitions are two distinct
@@ -429,28 +448,34 @@ def minhash_lsh_pairs(
     # permutations) executed twice (r7: measured 2x the pass cost).
     p = documents.sparkSession.sparkContext.defaultParallelism
     base = banded.repartition(p, "band", "bucket")
-    a = base.select("band", "bucket", F.col("doc_id").alias("doc_a"),
-                    F.col("sig").alias("sig_a"))
-    b = base.select("band", "bucket", F.col("doc_id").alias("doc_b"),
-                    F.col("sig").alias("sig_b"))
+    a = base.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = base.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig_small = sig_df.join(ids, "doc_id", "semi")
+    sa = sig_small.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig_small.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda m: m,
         )
     ).cast("double") / F.lit(float(num_hashes))
-    # Compute est_jaccard BEFORE deduplicating the pair list: deduplicating
-    # while still carrying the signature arrays forces a SortAggregate
-    # (first(sig) over array columns); aggregating the scalar estimate with
-    # max() keeps the plan in hash aggregation (the estimate is identical
-    # for every band-collision of the same pair, so max == the value).
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
